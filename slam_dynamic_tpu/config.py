@@ -1,0 +1,261 @@
+"""Typed configuration tree for the whole framework.
+
+One dataclass tree replaces the reference's three config mechanisms
+(/root/reference — SURVEY §5.6): OpenCV FileStorage YAMLs (camera/ORB/viewer
+params, src/Tracking.cc:54-152), the compile-time ``YOLO_S`` macro
+(src/Tracking.cc:41), and scattered hardcoded constants (thresholds in
+src/Tracking.cc:623,954,1267,1326, box gates :818,853-856, yolo paths
+src/yolo.cc:17-24). Everything is runtime-configurable here; no compile-time
+switches.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    fx: float = 535.4
+    fy: float = 539.2
+    cx: float = 320.1
+    cy: float = 247.6
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    bf: float = 40.0          # baseline(m) * fx; 0 for monocular
+    fps: float = 30.0
+    width: int = 640
+    height: int = 480
+    rgb: bool = True          # channel order of input images
+    depth_map_factor: float = 5000.0  # TUM depth png scaling
+    th_depth: float = 40.0    # close/far threshold in baseline units
+
+
+@dataclass(frozen=True)
+class ORBConfig:
+    """ORB extractor parameters (reference YAML `ORBextractor.*` +
+    ORBextractor ctor, src/ORBextractor.cc:410-479)."""
+
+    n_features: int = 1000
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 20
+    min_th_fast: int = 7
+    # TPU-specific capacities (static shapes): per-level raw FAST cap before
+    # spatial selection, and the grid used for uniform distribution.
+    max_raw_per_level: int = 4096
+    cell_size: int = 32       # spatial-binning cell for uniform selection
+    edge_threshold: int = 19  # border margin for descriptors (ref :442)
+
+
+@dataclass(frozen=True)
+class MatcherConfig:
+    """Hamming matcher thresholds (include/ORBmatcher.h:93-95)."""
+
+    th_low: int = 50
+    th_high: int = 100
+    histo_length: int = 30
+    nn_ratio_tracking: float = 0.9
+    nn_ratio_reloc: float = 0.75
+    check_orientation: bool = True
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    """Frontend state machine (src/Tracking.cc)."""
+
+    min_frames_between_kf: int = 0
+    max_frames_between_kf: int = 30        # defaults to fps in reference
+    motion_model_radius: float = 15.0      # SearchByProjection th (stereo 7 / mono 15)
+    local_map_radius: float = 3.0          # wide=5, narrow=... ref :2040-2060
+    min_inliers_track: int = 10            # ref :1786,:1688
+    min_inliers_localmap: int = 30         # ref :1829
+    min_inliers_after_reloc: int = 50
+    reloc_max_candidates: int = 8
+    # dynamic-scene handling
+    ref_frame_age_s: float = 0.2           # ref :623
+    frame_queue_factor: float = 0.3        # queue cap 0.3*fps, ref :954
+    dyn_confirm_frames: int = 2            # 2 consecutive dyn frames, ref :1213
+
+
+@dataclass(frozen=True)
+class DynamicConfig:
+    """Dynamic-object subsystem (boxes, geometric reclassification)."""
+
+    max_boxes: int = 16                    # static capacity of box slots
+    iou_match_threshold: float = 0.3       # boxTrack gate (ref Frame.cc:508)
+    velocity_ghost_frames: int = 1         # carry lost boxes this many frames
+    chi2_homography: float = 5.991         # ref Tracking.cc:1267
+    chi2_fundamental: float = 5.841        # ref Tracking.cc:1326 (1-dof 0.95-ish)
+    ransac_hypotheses: int = 256           # batched RANSAC rounds
+    ransac_threshold_px: float = 3.0
+    min_pairs_for_model: int = 20
+    box_center_margin: Tuple[float, float] = (0.2, 0.8)   # ref :818
+    max_object_depth: float = 20.0         # ref :853
+    max_depth_jump: float = 5.0            # ref :856
+    shrink_w: float = 0.8                  # Segmentation_ box reshape: width*0.8
+    grow_h: float = 1.6                    # height*1.6 (src/yolo.cc:142-149)
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """Online detector (yolo.cc equivalent) / offline box loading."""
+
+    mode: str = "precomputed"              # "precomputed" | "online" | "off"
+    conf_threshold: float = 0.5            # include/yolo.h:24
+    nms_threshold: float = 0.4
+    input_size: Tuple[int, int] = (640, 480)
+    max_detections: int = 32
+    dynamic_classes: Tuple[int, ...] = (0, 1, 2, 3, 5, 7)  # person/bicycle/car/moto/bus/truck (coco ids)
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Local mapping thread equivalents (src/LocalMapping.cc)."""
+
+    culling_min_found_ratio: float = 0.25
+    triangulation_neighbors: int = 10      # 20 for mono (ref :219)
+    fuse_neighbors: int = 10
+    kf_redundancy_ratio: float = 0.9       # KeyFrameCulling rule
+    min_covisibility_weight: int = 15      # KeyFrame::UpdateConnections
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    """Loop closing (src/LoopClosing.cc)."""
+
+    enabled: bool = True
+    covisibility_consistency_th: int = 3
+    sim3_min_inliers: int = 20
+    sim3_total_matches: int = 40
+    fix_scale: bool = True                 # stereo/RGB-D: s=1
+    kf_gap: int = 10                       # ignore loops to recent KFs (ref :115)
+
+
+@dataclass(frozen=True)
+class VocabularyConfig:
+    k: int = 10
+    levels: int = 4                        # 10^4 = 10k words (ref uses 10^6)
+    direct_index_level: int = 2            # levels-up analog (ComputeBoW lvl 4 of 6)
+    path: Optional[str] = None             # packed .npz vocabulary
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    """GN/LM engine (src/Optimizer.cc)."""
+
+    pose_rounds: int = 4                   # PoseOptimization: 4 rounds
+    pose_iters_per_round: int = 10         # x 10 LM iters (ref :370)
+    chi2_mono: float = 5.991
+    chi2_stereo: float = 7.815
+    local_ba_iters: Tuple[int, int] = (5, 10)
+    global_ba_iters: int = 20
+    essential_graph_iters: int = 20
+    sim3_iters: int = 5
+    lambda_init: float = 1e-3
+
+
+@dataclass(frozen=True)
+class CapacityConfig:
+    """Static capacities for the fixed-shape map state (TPU requirement).
+
+    The reference's dynamically-growing pointer graph becomes fixed-capacity
+    struct-of-arrays with validity masks; these set the capacities.
+    """
+
+    max_keypoints: int = 2048              # per frame (>= ORBConfig.n_features)
+    max_keyframes: int = 512
+    max_landmarks: int = 65536
+    max_obs_per_kf: int = 2048
+    local_ba_keyframes: int = 32
+    local_ba_landmarks: int = 4096
+    max_matches: int = 2048
+
+
+@dataclass(frozen=True)
+class PointCloudConfig:
+    """Dense mapping (src/pointcloudmapping.cc)."""
+
+    enabled: bool = False
+    stride: int = 3                        # every 3rd pixel (ref :66)
+    min_depth: float = 0.01
+    max_depth: float = 5.0
+    voxel_resolution: float = 0.04
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout for distributed BA / multi-host streaming."""
+
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axes: Tuple[str, ...] = ("kf",)
+    dp_axis: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class SystemConfig:
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    orb: ORBConfig = field(default_factory=ORBConfig)
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    dynamic: DynamicConfig = field(default_factory=DynamicConfig)
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    vocabulary: VocabularyConfig = field(default_factory=VocabularyConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    capacity: CapacityConfig = field(default_factory=CapacityConfig)
+    pointcloud: PointCloudConfig = field(default_factory=PointCloudConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    sensor: str = "rgbd"                   # "mono" | "stereo" | "rgbd"
+    seed: int = 0
+
+    def replace(self, **kw) -> "SystemConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def load_yaml(path: str) -> SystemConfig:
+    """Load a reference-style dataset YAML (Camera.*, ORBextractor.*, ...)
+    into the typed tree. Understands the OpenCV FileStorage subset used by
+    the reference configs (e.g. Examples/Stereo/KITTI04-12.yaml)."""
+    kv = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if ":" not in line or line.startswith("%"):
+                continue
+            k, v = line.split(":", 1)
+            v = v.strip()
+            if not v:
+                continue
+            try:
+                kv[k.strip()] = float(v) if "." in v or "e" in v.lower() else int(v)
+            except ValueError:
+                kv[k.strip()] = v
+
+    g = kv.get
+    cam = CameraConfig(
+        fx=g("Camera.fx", 535.4), fy=g("Camera.fy", 539.2),
+        cx=g("Camera.cx", 320.1), cy=g("Camera.cy", 247.6),
+        k1=g("Camera.k1", 0.0), k2=g("Camera.k2", 0.0),
+        p1=g("Camera.p1", 0.0), p2=g("Camera.p2", 0.0), k3=g("Camera.k3", 0.0),
+        bf=g("Camera.bf", 0.0), fps=float(g("Camera.fps", 30.0)),
+        width=int(g("Camera.width", 640)), height=int(g("Camera.height", 480)),
+        rgb=bool(g("Camera.RGB", 1)),
+        depth_map_factor=g("DepthMapFactor", 5000.0),
+        th_depth=g("ThDepth", 40.0),
+    )
+    orb = ORBConfig(
+        n_features=int(g("ORBextractor.nFeatures", 1000)),
+        scale_factor=g("ORBextractor.scaleFactor", 1.2),
+        n_levels=int(g("ORBextractor.nLevels", 8)),
+        ini_th_fast=int(g("ORBextractor.iniThFAST", 20)),
+        min_th_fast=int(g("ORBextractor.minThFAST", 7)),
+    )
+    pc = PointCloudConfig(
+        voxel_resolution=g("PointCloudMapping.Resolution", 0.04))
+    return SystemConfig(camera=cam, orb=orb, pointcloud=pc)
