@@ -1,0 +1,88 @@
+"""Dynamic-object geometric-consistency reclassifier.
+
+Equivalent of the reference's TrackHomo/Separate/classifyH/classifyF
+(/root/reference/src/Tracking.cc:968-1367) + Frame::UpdateFrame
+(/root/reference/src/Frame.cc:607-641): estimate H and F from the static
+background between the current frame and a reference frame ~0.2 s older,
+then chi2-test the features inside each tracked box; boxes whose features
+move consistently with the background are reclassified static and their
+features reinstated (mask flip).
+
+Implemented in frontend/dynamics_ops.py as batched-hypothesis RANSAC +
+vectorized chi2 tests; this module holds the host-side frame queue and box
+status bookkeeping.
+"""
+from __future__ import annotations
+
+import collections
+from typing import Deque, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SystemConfig
+from ..utils.camera import Intrinsics
+
+
+class DynamicsModule:
+    """Host orchestration of the dynamic-scene pipeline.
+
+    Keeps the reference-frame queue (ref Tracking.cc:952-959: cap
+    0.3*fps, consume frames >=0.2 s old :621-631) and per-box dynamic
+    streak counters (2 consecutive dynamic frames to confirm, :1213-1226).
+    """
+
+    def __init__(self, cfg: SystemConfig, cam: Intrinsics):
+        self.cfg = cfg
+        self.cam = cam
+        maxq = max(2, int(cfg.tracking.frame_queue_factor * cfg.camera.fps))
+        self.queue: Deque = collections.deque(maxlen=maxq)
+
+    def pre_track(self, frame, boxes, tracker):
+        """Run the H/F reclassification against the reference frame before
+        pose tracking, so reinstated features participate in tracking."""
+        from . import dynamics_ops as dops
+        ref = self._pick_reference(frame.timestamp)
+        if ref is None or boxes.boxes is None or len(boxes.boxes) == 0:
+            return
+        result = dops.classify_boxes(
+            self.cam, ref.data, frame.data,
+            jnp.asarray(boxes.boxes, jnp.float32),
+            jnp.asarray(np.ones(len(boxes.boxes), bool)),
+            n_hyp=self.cfg.dynamic.ransac_hypotheses,
+            thresh_px=self.cfg.dynamic.ransac_threshold_px,
+            chi2_h=self.cfg.dynamic.chi2_homography,
+            chi2_f=self.cfg.dynamic.chi2_fundamental,
+            min_pairs=self.cfg.dynamic.min_pairs_for_model,
+            seed=self.cfg.seed + frame.frame_id)
+        verdict = np.asarray(result.verdict)  # [B] 0 unknown 1 static 2 dyn
+        # streak bookkeeping (2 consecutive dynamic frames confirm)
+        for i in range(len(boxes.boxes)):
+            if verdict[i] == 2:
+                boxes.dyn_streak[i] += 1
+                if boxes.dyn_streak[i] >= self.cfg.tracking.dyn_confirm_frames:
+                    boxes.status[i] = 2
+            elif verdict[i] == 1:
+                boxes.dyn_streak[i] = 0
+                if boxes.status[i] != 2:
+                    boxes.status[i] = 1
+        # reinstate features of static-verdict boxes (Frame::UpdateFrame)
+        static_boxes = jnp.asarray(boxes.status == 1)
+        if bool(static_boxes.any()):
+            frame.data = dops.reinstate_features(
+                frame.data, jnp.asarray(boxes.boxes, jnp.float32),
+                static_boxes)
+
+    def post_track(self, frame, boxes, tracker):
+        """Queue maintenance after tracking (the frame now has a pose)."""
+        self.queue.append(frame)
+
+    def _pick_reference(self, ts: float):
+        """Oldest frame at least ref_frame_age_s older (ref :621-631)."""
+        best = None
+        for f in self.queue:
+            if ts - f.timestamp >= self.cfg.tracking.ref_frame_age_s:
+                best = f
+        if best is None and len(self.queue) > 0:
+            return None
+        return best

@@ -44,6 +44,8 @@ class BAProblem(NamedTuple):
     obs_uv: jnp.ndarray      # [O, 2|3]
     obs_inv_sigma2: jnp.ndarray  # [O]
     obs_valid: jnp.ndarray   # [O] bool
+    obs_ur_weight: jnp.ndarray  # [O] float 0/1: zero the u_right row (mixed
+    # mono/stereo observations; ignored in mono problems)
 
 
 class BAResult(NamedTuple):
@@ -82,7 +84,8 @@ def _gather_pose_point(problem: BAProblem):
 def _ba_terms(cam, problem, stereo):
     R, t, x = _gather_pose_point(problem)
     return reprojection_terms(cam, R, t, x, problem.obs_uv,
-                              problem.obs_inv_sigma2, stereo)
+                              problem.obs_inv_sigma2, stereo,
+                              problem.obs_ur_weight if stereo else None)
 
 
 def _gn_step(cam, problem: BAProblem, obs_w, lam, stereo):

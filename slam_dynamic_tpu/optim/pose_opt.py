@@ -42,11 +42,14 @@ def _normal_equations(terms, w):
 @functools.partial(jax.jit, static_argnames=("stereo", "rounds", "iters"))
 def optimize_pose(cam: Intrinsics, R0, t0, xw, obs, inv_sigma2, valid,
                   stereo: bool = False, rounds: int = 4, iters: int = 10,
-                  chi2_mono: float = 5.991, chi2_stereo: float = 7.815):
+                  chi2_mono: float = 5.991, chi2_stereo: float = 7.815,
+                  ur_weight=None):
     # chi2_mono/chi2_stereo arrive as traced jit args; keep them as arrays.
     """LM pose refinement with chi2 relabeling between rounds.
 
     xw [N,3], obs [N,2|3], inv_sigma2 [N], valid [N] bool.
+    ur_weight: optional [N] mask zeroing the u_right residual row of
+    observations without stereo depth (mixed mono/stereo problems).
     Returns PoseOptResult. Slots with valid=False never contribute.
     """
     chi2_th = chi2_stereo if stereo else chi2_mono
@@ -55,7 +58,7 @@ def optimize_pose(cam: Intrinsics, R0, t0, xw, obs, inv_sigma2, valid,
     def lm_round(R, t, inlier_mask, use_huber):
         def body(i, carry):
             R, t, lam = carry
-            terms = reprojection_terms(cam, R, t, xw, obs, inv_sigma2, stereo)
+            terms = reprojection_terms(cam, R, t, xw, obs, inv_sigma2, stereo, ur_weight)
             w = inv_sigma2 * inlier_mask
             # depth gate: points behind the camera cannot constrain
             w = w * (terms.depth > 1e-3)
@@ -67,7 +70,7 @@ def optimize_pose(cam: Intrinsics, R0, t0, xw, obs, inv_sigma2, valid,
             R_new, t_new = se3_retract(R, t, dx)
             # accept step if total robust error decreased
             terms_new = reprojection_terms(cam, R_new, t_new, xw, obs,
-                                           inv_sigma2, stereo)
+                                           inv_sigma2, stereo, ur_weight)
             mask_w = inlier_mask * (inv_sigma2 > 0)
             err_old = jnp.sum(jnp.minimum(terms.chi2, chi2_th * 4) * mask_w)
             err_new = jnp.sum(jnp.minimum(terms_new.chi2, chi2_th * 4) * mask_w)
@@ -86,11 +89,11 @@ def optimize_pose(cam: Intrinsics, R0, t0, xw, obs, inv_sigma2, valid,
     for rnd in range(rounds):
         use_huber = rnd < 2
         R, t = lm_round(R, t, inlier, use_huber)
-        terms = reprojection_terms(cam, R, t, xw, obs, inv_sigma2, stereo)
+        terms = reprojection_terms(cam, R, t, xw, obs, inv_sigma2, stereo, ur_weight)
         ok = (terms.chi2 <= chi2_th) & (terms.depth > 1e-3) & valid
         inlier = ok.astype(jnp.float32)
 
     R = orthonormalize(R)
-    terms = reprojection_terms(cam, R, t, xw, obs, inv_sigma2, stereo)
+    terms = reprojection_terms(cam, R, t, xw, obs, inv_sigma2, stereo, ur_weight)
     inl = inlier.astype(bool)
     return PoseOptResult(R, t, inl, inl.sum().astype(jnp.int32), terms.chi2)

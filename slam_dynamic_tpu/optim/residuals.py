@@ -45,12 +45,16 @@ def _proj_jacobian_xc(cam: Intrinsics, xc, stereo: bool):
 
 
 def reprojection_terms(cam: Intrinsics, R_cw, t_cw, xw, obs, inv_sigma2,
-                       stereo: bool) -> ReprojTerms:
+                       stereo: bool, ur_weight=None) -> ReprojTerms:
     """Batched residual/Jacobian evaluation.
 
     R_cw: [3,3] or [N,3,3]; t_cw: [3] or [N,3]; xw: [N,3] world points;
     obs: [N,2] (mono) or [N,3] (u, v, u_right) (stereo);
-    inv_sigma2: [N] information scale (1/sigma^2 per pyramid level).
+    inv_sigma2: [N] information scale (1/sigma^2 per pyramid level);
+    ur_weight: optional [N] in {0,1} — 0 turns a stereo observation into a
+    mono one by zeroing the u_right residual row (the reference mixes
+    EdgeSE3ProjectXYZ and EdgeStereoSE3ProjectXYZ in one problem; here the
+    mix is a row mask).
     """
     xc = jnp.einsum("...ij,...j->...i", R_cw, xw) + t_cw
     z = xc[..., 2]
@@ -63,8 +67,12 @@ def reprojection_terms(cam: Intrinsics, R_cw, t_cw, xw, obs, inv_sigma2,
     else:
         pred = jnp.stack([u, v], axis=-1)
     r = pred - obs
+    if stereo and ur_weight is not None:
+        r = r.at[..., 2].multiply(ur_weight)
 
     Jxc = _proj_jacobian_xc(cam, xc, stereo)          # [N, D, 3]
+    if stereo and ur_weight is not None:
+        Jxc = Jxc.at[..., 2, :].multiply(ur_weight[..., None])
     # d xc / d twist = [I | -hat(xc)]  (left-multiplicative, [rho, phi])
     N = xc.shape[0]
     I = jnp.broadcast_to(jnp.eye(3, dtype=xc.dtype), (N, 3, 3))

@@ -1,0 +1,125 @@
+"""System facade: the public entry point of the framework.
+
+Equivalent of ORB_SLAM2::System (/root/reference/src/System.cc:32-117 ctor,
+track entries :119-325, Shutdown :408, SaveTrajectory* :434-601). Owns the
+tracker, the mapping stage, the dynamic-object subsystem, and (when enabled)
+loop closing. The reference's thread spawning + mutex wiring (:87-116)
+becomes explicit pipeline stages over pytrees.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .config import SystemConfig
+from .utils.camera import Intrinsics
+from .frontend.frame import build_frame, Frame
+from .frontend.tracking import Tracker, TrackStats
+from .frontend.boxtrack import BoxTrackerState, track_boxes
+from .io import trajectory as traj_io
+
+
+def intrinsics_from_config(cfg: SystemConfig) -> Intrinsics:
+    c = cfg.camera
+    return Intrinsics.create(c.fx, c.fy, c.cx, c.cy, c.k1, c.k2, c.p1, c.p2,
+                             c.k3, c.bf, c.width, c.height)
+
+
+class System:
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        self.cam = intrinsics_from_config(cfg)
+        self.tracker = Tracker(cfg, self.cam,
+                               stereo_obs=cfg.sensor in ("stereo", "rgbd"))
+        self.boxes = BoxTrackerState.empty()
+        self.frame_id = 0
+        self.dynamics = None      # wired by frontend.dynamics when enabled
+        if cfg.detector.mode != "off":
+            from .frontend.dynamics import DynamicsModule
+            self.dynamics = DynamicsModule(cfg, self.cam)
+
+    # ------------------------------------------------------------------
+    def _advance_boxes(self, detections: Optional[np.ndarray]):
+        if detections is None:
+            detections = np.zeros((0, 4), np.float32)
+        self.boxes = track_boxes(
+            self.boxes, detections,
+            iou_threshold=self.cfg.dynamic.iou_match_threshold,
+            max_missed=self.cfg.dynamic.velocity_ghost_frames,
+            max_boxes=self.cfg.dynamic.max_boxes)
+
+    def _active_boxes(self):
+        """Boxes currently quarantining features: tentative or confirmed
+        dynamic (status 1 = reclassified static boxes stop gating)."""
+        if len(self.boxes.boxes) == 0:
+            return None, None
+        act = self.boxes.status != 1
+        return self.boxes.boxes, act
+
+    # ------------------------------------------------------------------
+    def track_rgbd(self, gray: np.ndarray, depth: np.ndarray,
+                   timestamp: float,
+                   detections: Optional[np.ndarray] = None,
+                   mask: Optional[np.ndarray] = None) -> TrackStats:
+        """RGB-D entry (ref System::TrackRGBD :222-273 + box overload)."""
+        self._advance_boxes(detections)
+        boxes, bvalid = self._active_boxes()
+        frame = build_frame(self.cfg, self.cam, gray, self.frame_id,
+                            timestamp, depth_map=depth, boxes=boxes,
+                            box_valid=bvalid, mask=mask)
+        frame.box_ids = self.boxes.ids.copy() if boxes is not None else None
+        st = self._track_common(frame)
+        return st
+
+    def track_stereo(self, left: np.ndarray, right: np.ndarray,
+                     timestamp: float,
+                     detections: Optional[np.ndarray] = None) -> TrackStats:
+        """Stereo entry (ref System::TrackStereo :119-220 + box overload)."""
+        self._advance_boxes(detections)
+        boxes, bvalid = self._active_boxes()
+        frame = build_frame(self.cfg, self.cam, left, self.frame_id,
+                            timestamp, right=right, boxes=boxes,
+                            box_valid=bvalid)
+        frame.box_ids = self.boxes.ids.copy() if boxes is not None else None
+        return self._track_common(frame)
+
+    def track_mono(self, gray: np.ndarray, timestamp: float) -> TrackStats:
+        frame = build_frame(self.cfg, self.cam, gray, self.frame_id,
+                            timestamp)
+        return self._track_common(frame)
+
+    def _track_common(self, frame: Frame) -> TrackStats:
+        if self.dynamics is not None:
+            self.dynamics.pre_track(frame, self.boxes, self.tracker)
+        st = self.tracker.process(frame)
+        if self.dynamics is not None and st.state == "OK":
+            self.dynamics.post_track(frame, self.boxes, self.tracker)
+        self.frame_id += 1
+        return st
+
+    # ------------------------------------------------------------------
+    @property
+    def trajectory(self):
+        return self.tracker.trajectory
+
+    def save_trajectory_tum(self, path: str):
+        traj_io.save_tum(path, self.tracker.trajectory)
+
+    def save_trajectory_kitti(self, path: str):
+        traj_io.save_kitti(path, self.tracker.trajectory)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        m = self.tracker.map
+        n = int(m.n_kf)
+        kf_traj = [(float(m.kf_timestamp[k]), np.asarray(m.kf_R[k]),
+                    np.asarray(m.kf_t[k])) for k in range(n)
+                   if bool(m.kf_valid[k])]
+        traj_io.save_tum(path, kf_traj)
+
+    def reset(self):
+        self.tracker = Tracker(self.cfg, self.cam,
+                               stereo_obs=self.cfg.sensor in ("stereo",
+                                                              "rgbd"))
+        self.boxes = BoxTrackerState.empty()
+        self.frame_id = 0

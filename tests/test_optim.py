@@ -110,7 +110,8 @@ def _ba_problem(rng, K=6, L=150, stereo=True, noise=0.4,
         obs_kf=jnp.asarray(obs_kf, jnp.int32),
         obs_lm=jnp.asarray(obs_lm, jnp.int32),
         obs_uv=jnp.asarray(np.stack(obs_uv), jnp.float32),
-        obs_inv_sigma2=jnp.ones(O), obs_valid=jnp.ones(O, bool))
+        obs_inv_sigma2=jnp.ones(O), obs_valid=jnp.ones(O, bool),
+        obs_ur_weight=jnp.ones(O))
     return problem, np.stack(Rs), np.stack(ts), pts_gt
 
 
