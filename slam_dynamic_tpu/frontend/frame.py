@@ -122,5 +122,26 @@ def build_frame(cfg: SystemConfig, cam: Intrinsics, gray: np.ndarray,
     data = FrameData(xy=xy, xy_raw=xy_raw, level=kp.level, angle=kp.angle,
                      response=kp.response, desc=kp.desc, valid=kp.valid,
                      ur=ur, depth=depth, static_mask=static, scale=scale)
+    data = pad_frame_data(data, cfg.capacity.max_keypoints)
     return Frame(data=data, frame_id=frame_id, timestamp=timestamp,
                  boxes=boxes, box_ids=None, box_status=None)
+
+
+def pad_frame_data(fd: FrameData, n_slots: int) -> FrameData:
+    """Pad keypoint arrays to the map's slot capacity (padding invalid)."""
+    n = fd.xy.shape[0]
+    if n == n_slots:
+        return fd
+    assert n < n_slots, f"frame has {n} keypoints > capacity {n_slots}"
+    p = n_slots - n
+
+    def pad(a, fill=0):
+        return jnp.concatenate(
+            [a, jnp.full((p,) + a.shape[1:], fill, a.dtype)])
+
+    return FrameData(
+        xy=pad(fd.xy), xy_raw=pad(fd.xy_raw), level=pad(fd.level),
+        angle=pad(fd.angle), response=pad(fd.response), desc=pad(fd.desc),
+        valid=pad(fd.valid, False), ur=pad(fd.ur, -1.0),
+        depth=pad(fd.depth, -1.0), static_mask=pad(fd.static_mask, False),
+        scale=pad(fd.scale, 1.0))

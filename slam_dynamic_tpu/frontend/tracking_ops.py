@@ -34,7 +34,8 @@ class TrackOut(NamedTuple):
     found: jnp.ndarray          # [M] bool landmark was matched+inlier
 
 
-@functools.partial(jax.jit, static_argnames=("stereo", "n_levels"))
+@functools.partial(jax.jit,
+                   static_argnames=("stereo", "n_levels", "use_view_gate"))
 def track_against_landmarks(
         cam: Intrinsics, bounds, R_pred, t_pred,
         lm_pos, lm_desc, lm_normal, lm_dmin, lm_dmax, lm_mask,
@@ -112,7 +113,8 @@ class LocalMapOut(NamedTuple):
     kf_mask: jnp.ndarray    # [MAXK] bool
 
 
-@functools.partial(jax.jit, static_argnames=("max_kf", "max_lm"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_lm_total", "max_kf", "max_lm"))
 def select_local_map(kf_obs_lm, kf_valid, frame_lm_ids, n_lm_total,
                      max_kf: int = 16, max_lm: int = 4096) -> LocalMapOut:
     """Local covisibility window from the currently tracked landmarks.

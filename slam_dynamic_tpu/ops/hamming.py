@@ -73,8 +73,8 @@ def match_nn(dist: jnp.ndarray, max_dist: int, ratio: float = 1.0,
     second = -top2[:, 1]
     idx_b = idx2[:, 0]
     ok = (best <= max_dist)
-    if ratio < 1.0:
-        ok &= best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
+    # ratio==1.0 is a no-op (top-2 is sorted, best <= second always)
+    ok &= best.astype(jnp.float32) <= ratio * second.astype(jnp.float32)
     if mutual:
         best_for_b = jnp.argmin(dist, axis=0)     # [M]
         ok &= best_for_b[idx_b] == jnp.arange(dist.shape[0])

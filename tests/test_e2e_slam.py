@@ -1,0 +1,82 @@
+"""End-to-end SLAM integration tests on synthetic ground-truth sequences.
+
+The golden-trajectory equivalent of the reference's evo protocol
+(SURVEY §4): run the full System on a rendered sequence, evaluate ATE.
+Small images keep compile+run times CI-friendly.
+"""
+import numpy as np
+import pytest
+
+from slam_dynamic_tpu.config import (SystemConfig, CameraConfig, ORBConfig,
+                                     DetectorConfig, CapacityConfig)
+from slam_dynamic_tpu.io.synthetic import SynthConfig, generate
+from slam_dynamic_tpu.io.evo import ate_rmse
+from slam_dynamic_tpu.system import System
+
+
+def make_system(scfg: SynthConfig, detector="off", **kw):
+    cfg = SystemConfig(
+        camera=CameraConfig(fx=scfg.fx, fy=scfg.fy, cx=scfg.cx, cy=scfg.cy,
+                            bf=scfg.fx * scfg.baseline, width=scfg.width,
+                            height=scfg.height, th_depth=120.0,
+                            fps=scfg.fps),
+        orb=ORBConfig(n_features=600),
+        detector=DetectorConfig(mode=detector),
+        capacity=CapacityConfig(max_keyframes=32, max_landmarks=8192,
+                                max_keypoints=1024,
+                                local_ba_keyframes=8,
+                                local_ba_landmarks=2048),
+        sensor="rgbd", **kw)
+    return System(cfg)
+
+
+def run_rgbd(sys_, seq, use_boxes=False, use_mask=False):
+    T = seq.gray.shape[0]
+    for i in range(T):
+        det = None
+        if use_boxes and seq.box_valid[i, 0]:
+            det = seq.boxes[i][seq.box_valid[i]]
+        mask = seq.masks[i] if use_mask else None
+        sys_.track_rgbd(seq.gray[i], seq.depth[i],
+                        float(seq.timestamps[i]), detections=det, mask=mask)
+    traj = sys_.trajectory
+    est = np.stack([-R.T @ t for _, R, t in traj])
+    return est, seq.t_wc[:len(est)], traj
+
+
+@pytest.mark.slow
+def test_rgbd_static_scene_ate():
+    scfg = SynthConfig(n_frames=25, width=320, height=240, fx=260.0,
+                       fy=260.0, cx=159.5, cy=119.5)
+    seq = generate(scfg)
+    sys_ = make_system(scfg)
+    est, gt, traj = run_rgbd(sys_, seq)
+    assert len(traj) == 25                      # no frame lost
+    ate = ate_rmse(est, gt)
+    assert ate < 0.02, f"ATE {ate}"
+    assert ate_rmse(est, gt, align=False) < 0.06
+    assert int(sys_.tracker.map.n_kf) >= 2
+    assert int(sys_.tracker.map.n_lm) > 300
+
+
+@pytest.mark.slow
+def test_rgbd_trajectory_files(tmp_path):
+    scfg = SynthConfig(n_frames=12, width=320, height=240, fx=260.0,
+                       fy=260.0, cx=159.5, cy=119.5)
+    seq = generate(scfg)
+    sys_ = make_system(scfg)
+    run_rgbd(sys_, seq)
+    tum = tmp_path / "traj.txt"
+    kitti = tmp_path / "traj_kitti.txt"
+    sys_.save_trajectory_tum(str(tum))
+    sys_.save_trajectory_kitti(str(kitti))
+    rows = np.loadtxt(tum)
+    assert rows.shape == (12, 8)
+    # quaternions normalized
+    np.testing.assert_allclose(np.linalg.norm(rows[:, 4:8], axis=1), 1.0,
+                               atol=1e-5)
+    kr = np.loadtxt(kitti)
+    assert kr.shape == (12, 12)
+    # rotation part orthonormal
+    R0 = kr[0].reshape(3, 4)[:, :3]
+    np.testing.assert_allclose(R0 @ R0.T, np.eye(3), atol=1e-5)
