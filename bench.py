@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark driver: tracked frames/s/chip + ATE on the synthetic sequence.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: tracked frames/s/chip on the standard 640x480 RGB-D
+sequence (1000 ORB features/frame, full pipeline: extraction, depth
+association, motion-model + local-map tracking, keyframing, local BA).
+`vs_baseline` is the ratio to the reference's implicit real-time budget of
+30 fps (TUM camera rate — the reference's own real-time claim, SURVEY §6;
+it publishes no quantitative numbers, BASELINE.md).
+
+Flags:
+  --quick     short CPU run (sanity)
+  --frames N  sequence length (default 60)
+  --ate       report ATE RMSE instead of fps
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--ate", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu or args.quick:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from slam_dynamic_tpu.config import (SystemConfig, CameraConfig,
+                                         ORBConfig, DetectorConfig,
+                                         CapacityConfig)
+    from slam_dynamic_tpu.io.synthetic import SynthConfig, generate
+    from slam_dynamic_tpu.io.evo import ate_rmse
+    from slam_dynamic_tpu.system import System
+
+    if args.quick:
+        scfg = SynthConfig(n_frames=12, width=320, height=240, fx=260.0,
+                           fy=260.0, cx=159.5, cy=119.5)
+        nfeat, nkp = 600, 1024
+    else:
+        scfg = SynthConfig(n_frames=args.frames)
+        nfeat, nkp = 1000, 2048
+    seq = generate(scfg)
+
+    cfg = SystemConfig(
+        camera=CameraConfig(fx=scfg.fx, fy=scfg.fy, cx=scfg.cx, cy=scfg.cy,
+                            bf=scfg.fx * scfg.baseline, width=scfg.width,
+                            height=scfg.height, th_depth=120.0,
+                            fps=scfg.fps),
+        orb=ORBConfig(n_features=nfeat),
+        detector=DetectorConfig(mode="off"),
+        capacity=CapacityConfig(max_keyframes=128, max_landmarks=32768,
+                                max_keypoints=nkp, local_ba_keyframes=8,
+                                local_ba_landmarks=2048),
+        sensor="rgbd")
+    sys_ = System(cfg)
+
+    # warmup: first few frames trigger all compiles
+    n_warm = min(4, scfg.n_frames)
+    for i in range(n_warm):
+        sys_.track_rgbd(seq.gray[i], seq.depth[i], float(seq.timestamps[i]))
+
+    t0 = time.time()
+    for i in range(n_warm, scfg.n_frames):
+        sys_.track_rgbd(seq.gray[i], seq.depth[i], float(seq.timestamps[i]))
+    dt = time.time() - t0
+    n_timed = scfg.n_frames - n_warm
+    fps = n_timed / dt
+
+    traj = sys_.trajectory
+    est = np.stack([-R.T @ t for _, R, t in traj])
+    gt = seq.t_wc[:len(est)]
+    ate = ate_rmse(est, gt)
+
+    if args.ate:
+        out = {"metric": "ATE RMSE (synthetic RGB-D, evo_ape-equivalent -as)",
+               "value": round(ate, 5), "unit": "m",
+               "vs_baseline": round(0.02 / max(ate, 1e-9), 3)}
+    else:
+        out = {"metric": "tracked frames/s/chip (640x480 RGB-D, full SLAM)",
+               "value": round(fps, 2), "unit": "fps",
+               "vs_baseline": round(fps / 30.0, 3),
+               "ate_m": round(ate, 5)}
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -88,13 +88,10 @@ def _ba_terms(cam, problem, stereo):
                               problem.obs_ur_weight if stereo else None)
 
 
-def _gn_step(cam, problem: BAProblem, obs_w, lam, stereo):
-    """One damped GN step; returns (dxc [K,6], dxp [L,3])."""
-    K = problem.kf_R.shape[0]
-    L = problem.points.shape[0]
-    terms = _ba_terms(cam, problem, stereo)
-    w = obs_w * (terms.depth > 1e-3)
-
+def ba_blocks(terms, w, obs_kf, obs_lm, K: int, L: int):
+    """Scatter per-observation normal-equation blocks into dense block
+    tensors: (Hcc [K,6,6], Hpp [L,3,3], Wlk [L,K,6,3], bc [K,6], bp [L,3]).
+    Shared by local BA and the landmark-sharded distributed BA."""
     Jc = terms.J_pose                                  # [O, D, 6]
     Jp = terms.J_point                                 # [O, D, 3]
     JcW = Jc * w[:, None, None]
@@ -106,11 +103,22 @@ def _gn_step(cam, problem: BAProblem, obs_w, lam, stereo):
     bc_o = -jnp.einsum("odi,od->oi", JcW, terms.r)     # [O, 6]
     bp_o = -jnp.einsum("odi,od->oi", JpW, terms.r)     # [O, 3]
 
-    Hcc = jnp.zeros((K, 6, 6)).at[problem.obs_kf].add(Hcc_o)
-    Hpp = jnp.zeros((L, 3, 3)).at[problem.obs_lm].add(Hpp_o)
-    Wlk = jnp.zeros((L, K, 6, 3)).at[problem.obs_lm, problem.obs_kf].add(Wo)
-    bc = jnp.zeros((K, 6)).at[problem.obs_kf].add(bc_o)
-    bp = jnp.zeros((L, 3)).at[problem.obs_lm].add(bp_o)
+    Hcc = jnp.zeros((K, 6, 6)).at[obs_kf].add(Hcc_o)
+    Hpp = jnp.zeros((L, 3, 3)).at[obs_lm].add(Hpp_o)
+    Wlk = jnp.zeros((L, K, 6, 3)).at[obs_lm, obs_kf].add(Wo)
+    bc = jnp.zeros((K, 6)).at[obs_kf].add(bc_o)
+    bp = jnp.zeros((L, 3)).at[obs_lm].add(bp_o)
+    return Hcc, Hpp, Wlk, bc, bp
+
+
+def _gn_step(cam, problem: BAProblem, obs_w, lam, stereo):
+    """One damped GN step; returns (dxc [K,6], dxp [L,3])."""
+    K = problem.kf_R.shape[0]
+    L = problem.points.shape[0]
+    terms = _ba_terms(cam, problem, stereo)
+    w = obs_w * (terms.depth > 1e-3)
+    Hcc, Hpp, Wlk, bc, bp = ba_blocks(terms, w, problem.obs_kf,
+                                      problem.obs_lm, K, L)
 
     # LM damping (multiplicative on diagonals) + floor for empty blocks
     eye3 = jnp.eye(3)

@@ -1,0 +1,71 @@
+"""Distributed (landmark-sharded) BA vs single-device BA on the virtual
+8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from slam_dynamic_tpu.optim.local_ba import BAProblem, bundle_adjust
+from slam_dynamic_tpu.parallel.mesh import make_mesh
+from slam_dynamic_tpu.parallel import sharded_ba as sba
+from tests.test_optim import _ba_problem, CAM
+
+
+def to_sharded(problem: BAProblem, n_shards: int, O_cap: int):
+    L = problem.points.shape[0]
+    O = problem.obs_kf.shape[0]
+    # pad L to multiple of shards
+    Lp = ((L + n_shards - 1) // n_shards) * n_shards
+    pad_l = Lp - L
+    pts = np.pad(np.asarray(problem.points), ((0, pad_l), (0, 0)))
+    lmv = np.pad(np.asarray(problem.lm_valid), (0, pad_l))
+    # pad O
+    pad_o = O_cap - O
+    okf = np.pad(np.asarray(problem.obs_kf), (0, pad_o))
+    olm = np.pad(np.asarray(problem.obs_lm), (0, pad_o))
+    ouv = np.pad(np.asarray(problem.obs_uv), ((0, pad_o), (0, 0)))
+    ois = np.pad(np.asarray(problem.obs_inv_sigma2), (0, pad_o))
+    oval = np.pad(np.asarray(problem.obs_valid), (0, pad_o))
+    ourw = np.pad(np.asarray(problem.obs_ur_weight), (0, pad_o))
+    perm, oval_p, ok = sba.partition_obs_by_landmark(olm, oval, n_shards,
+                                                     Lp, O_cap)
+    assert ok
+    sp = ShardedProblem = sba.ShardedBAProblem(
+        kf_R=problem.kf_R, kf_t=problem.kf_t, kf_fixed=problem.kf_fixed,
+        kf_valid=problem.kf_valid,
+        points=jnp.asarray(pts), lm_valid=jnp.asarray(lmv),
+        obs_kf=jnp.asarray(okf[perm]), obs_lm=jnp.asarray(olm[perm]),
+        obs_uv=jnp.asarray(ouv[perm]),
+        obs_inv_sigma2=jnp.asarray(ois[perm]),
+        obs_valid=jnp.asarray(oval_p),
+        obs_ur_weight=jnp.asarray(ourw[perm]))
+    return sp, Lp
+
+
+def test_sharded_ba_matches_ground_truth(rng):
+    assert jax.device_count() >= 8
+    problem, Rs_gt, ts_gt, pts_gt = _ba_problem(rng, K=6, L=160, stereo=True)
+    n_shards = 8
+    O_cap = 1280
+    sp, Lp = to_sharded(problem, n_shards, O_cap)
+    mesh = make_mesh(8)
+    run = sba.make_sharded_ba(mesh, CAM, K=6, L=Lp, O=O_cap, stereo=True,
+                              iters=15)
+    kf_R, kf_t, pts = run(sp)
+    t_err = np.linalg.norm(np.asarray(kf_t) - ts_gt, axis=1)
+    assert t_err.max() < 0.02, t_err
+    p_err = np.linalg.norm(np.asarray(pts)[:160] - pts_gt, axis=1)
+    assert np.median(p_err) < 0.03
+
+
+def test_sharded_matches_single_device(rng):
+    """Sharded result ~= single-device bundle_adjust result."""
+    problem, Rs_gt, ts_gt, pts_gt = _ba_problem(rng, K=5, L=120, stereo=True)
+    res1 = bundle_adjust(CAM, problem, stereo=True)
+    sp, Lp = to_sharded(problem, 8, 1024)
+    mesh = make_mesh(8)
+    run = sba.make_sharded_ba(mesh, CAM, K=5, L=Lp, O=1024, stereo=True,
+                              iters=15)
+    kf_R, kf_t, pts = run(sp)
+    # both converge to the same optimum
+    np.testing.assert_allclose(np.asarray(kf_t), np.asarray(res1.kf_t),
+                               atol=5e-3)
