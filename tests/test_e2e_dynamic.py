@@ -1,0 +1,77 @@
+"""End-to-end dynamic-scene tests: box gating, geometric reclassification,
+and the damage a moving object does without them.
+
+These are the golden tests of the dynamic-SLAM capability (reference
+behavior: Tracking::TrackHomo/Separate/classify*, Frame::boxTrack/
+firstSeparate/UpdateFrame — SURVEY §0).
+"""
+import numpy as np
+import pytest
+
+from slam_dynamic_tpu.io.synthetic import SynthConfig, generate
+from slam_dynamic_tpu.io.evo import ate_rmse
+from tests.test_e2e_slam import make_system, run_rgbd
+
+BASE = dict(n_frames=30, width=320, height=240, fx=260.0, fy=260.0,
+            cx=159.5, cy=119.5)
+
+
+@pytest.mark.slow
+def test_moving_object_rejected():
+    """A large moving object corrupts tracking without gating; with boxes +
+    reclassifier the trajectory survives and the box is confirmed dynamic."""
+    scfg = SynthConfig(**BASE, dynamic_object=True, obj_size=1.6,
+                       obj_depth=3.0, obj_speed=0.09)
+    seq = generate(scfg)
+
+    sys_off = make_system(scfg, detector="off")
+    est0, gt0, _ = run_rgbd(sys_off, seq, use_boxes=False)
+    ate_off = ate_rmse(est0, gt0, align=False)
+
+    sys_on = make_system(scfg, detector="precomputed")
+    est1, gt1, _ = run_rgbd(sys_on, seq, use_boxes=True)
+    ate_on = ate_rmse(est1, gt1, align=False)
+
+    assert ate_on < 0.12, ate_on
+    assert ate_off > 3 * ate_on, (ate_off, ate_on)   # gating clearly helps
+    # box confirmed dynamic
+    assert len(sys_on.boxes.status) >= 1
+    assert (sys_on.boxes.status == 2).any()
+
+
+@pytest.mark.slow
+def test_static_box_reclassified():
+    """A falsely-boxed static object is reclassified static by the H/F
+    geometric-consistency test and its features reinstated."""
+    scfg = SynthConfig(**BASE, dynamic_object=True, obj_size=1.4,
+                       obj_depth=3.5, obj_speed=0.0, obj_x0=0.0, obj_bob=0.0)
+    seq = generate(scfg)
+    sys_ = make_system(scfg, detector="precomputed")
+    est, gt, _ = run_rgbd(sys_, seq, use_boxes=True)
+    assert ate_rmse(est, gt, align=False) < 0.08
+    assert (sys_.boxes.status == 1).all(), sys_.boxes.status
+
+
+def test_box_tracker_iou_and_ghosts():
+    from slam_dynamic_tpu.frontend.boxtrack import (BoxTrackerState,
+                                                    track_boxes)
+    st = BoxTrackerState.empty()
+    d0 = np.array([[10, 10, 50, 50], [100, 100, 150, 160]], np.float32)
+    st = track_boxes(st, d0)
+    assert len(st.boxes) == 2 and st.ids.tolist() == [0, 1]
+    # move boxes slightly -> same ids, velocity picked up
+    d1 = d0 + np.array([5, 0, 5, 0], np.float32)
+    st = track_boxes(st, d1)
+    assert st.ids.tolist() == [0, 1]
+    assert st.velocity[0, 0] > 0
+    # drop detection of box 1 -> ghost with velocity carry
+    d2 = (d1 + np.array([5, 0, 5, 0], np.float32))[:1]
+    st = track_boxes(st, d2)
+    assert st.ids.tolist() == [0, 1]
+    assert st.missed[1] == 1
+    # gone for 2 frames -> dropped; new detection gets a fresh id
+    st = track_boxes(st, d2 + np.array([5, 0, 5, 0], np.float32))
+    assert st.ids.tolist() == [0]
+    d4 = np.array([[200, 20, 240, 80]], np.float32)
+    st = track_boxes(st, np.vstack([d2 + 10, d4]))
+    assert 2 in st.ids.tolist()
