@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..utils.camera import Intrinsics
 from ..utils.se3 import se3_retract, orthonormalize
-from .residuals import reprojection_terms, huber_weight
+from .residuals import reprojection_terms, huber_weight, robust_cost
 
 
 class BAProblem(NamedTuple):
@@ -161,7 +161,8 @@ def _apply(problem: BAProblem, dxc, dxp) -> BAProblem:
 
 def _total_error(cam, problem, obs_w, chi2_th, stereo):
     terms = _ba_terms(cam, problem, stereo)
-    return jnp.sum(jnp.minimum(terms.chi2, 4 * chi2_th) * obs_w), terms
+    delta = jnp.sqrt(jnp.asarray(chi2_th))
+    return jnp.sum(robust_cost(terms.chi2, delta) * obs_w), terms
 
 
 @functools.partial(jax.jit, static_argnames=("stereo", "iters1", "iters2"))

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..utils.camera import Intrinsics
 from ..utils.se3 import se3_retract, orthonormalize
-from .residuals import reprojection_terms, huber_weight
+from .residuals import reprojection_terms, huber_weight, robust_cost
 
 
 class PoseOptResult(NamedTuple):
@@ -72,8 +72,8 @@ def optimize_pose(cam: Intrinsics, R0, t0, xw, obs, inv_sigma2, valid,
             terms_new = reprojection_terms(cam, R_new, t_new, xw, obs,
                                            inv_sigma2, stereo, ur_weight)
             mask_w = inlier_mask * (inv_sigma2 > 0)
-            err_old = jnp.sum(jnp.minimum(terms.chi2, chi2_th * 4) * mask_w)
-            err_new = jnp.sum(jnp.minimum(terms_new.chi2, chi2_th * 4) * mask_w)
+            err_old = jnp.sum(robust_cost(terms.chi2, delta) * mask_w)
+            err_new = jnp.sum(robust_cost(terms_new.chi2, delta) * mask_w)
             good = err_new < err_old
             R = jnp.where(good, R_new, R)
             t = jnp.where(good, t_new, t)

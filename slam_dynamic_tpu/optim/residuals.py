@@ -85,6 +85,16 @@ def reprojection_terms(cam: Intrinsics, R_cw, t_cw, xw, obs, inv_sigma2,
     return ReprojTerms(r, J_pose, J_point, chi2, z)
 
 
+def robust_cost(chi2, delta):
+    """Huber rho(chi2): quadratic below delta^2, linear above — monotone and
+    UNBOUNDED, so accept/reject comparisons stay informative even when every
+    residual is far outside the inlier gate (a hard clip min(chi2, c)
+    saturates and freezes LM)."""
+    d2 = delta * delta
+    e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    return jnp.where(chi2 <= d2, chi2, 2.0 * delta * e - d2)
+
+
 def huber_weight(chi2, delta: float):
     """IRLS weight of the Huber robustifier at squared error chi2.
 

@@ -32,7 +32,7 @@ from jax import shard_map
 
 from ..utils.camera import Intrinsics
 from ..utils.se3 import se3_retract
-from ..optim.residuals import reprojection_terms, huber_weight
+from ..optim.residuals import reprojection_terms, huber_weight, robust_cost
 from ..optim.local_ba import ba_blocks, invert3x3
 
 
@@ -85,7 +85,7 @@ def _gn_step_shard(cam, stereo, chi2_th, axis,
     b_part = jnp.einsum("lkim,lm->ki", V, bp)
 
     # global reduction: ONE psum for (S, b, Hcc, bc, err)
-    err_local = jnp.sum(jnp.minimum(terms.chi2, 4 * chi2_th) * w)
+    err_local = jnp.sum(robust_cost(terms.chi2, jnp.sqrt(chi2_th)) * w)
     S_sub, b_sub, Hcc_g, bc_g, err = jax.lax.psum(
         (S_part, b_part, Hcc, bc, err_local), axis)
 
@@ -143,8 +143,8 @@ def make_sharded_ba(mesh: Mesh, cam: Intrinsics, K: int, L: int, O: int,
             terms = reprojection_terms(cam, R, t, x, obs_uv, w2, stereo,
                                        obs_urw if stereo else None)
             err_new = jax.lax.psum(
-                jnp.sum(jnp.minimum(terms.chi2, 4 * chi2) * w2
-                        * (terms.depth > 1e-3)), axis)
+                jnp.sum(robust_cost(terms.chi2, jnp.sqrt(jnp.float32(chi2)))
+                        * w2 * (terms.depth > 1e-3)), axis)
             good = err_new < err
             kR = jnp.where(good, kR2, kR)
             kt = jnp.where(good, kt2, kt)

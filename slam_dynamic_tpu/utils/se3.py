@@ -54,9 +54,16 @@ def _cosc(x):
     return jnp.where(small, 0.5 - x * x / 24.0, (1.0 - jnp.cos(xs)) / (xs * xs))
 
 
+def safe_norm(v, axis=-1, keepdims=False):
+    """||v|| with a finite gradient at v=0 (jnp.linalg.norm's derivative is
+    NaN there, which poisons jacfwd/jacrev of exp maps at the identity)."""
+    sq = jnp.sum(v * v, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(sq + 1e-24)
+
+
 def so3_exp(phi):
     """Rodrigues: (..., 3) axis-angle -> (..., 3, 3) rotation."""
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)
+    theta = safe_norm(phi, axis=-1, keepdims=True)
     th = theta[..., None]  # (...,1,1)
     K = hat(phi)
     I = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
@@ -67,12 +74,16 @@ def so3_log(R):
     """(..., 3, 3) rotation -> (..., 3) axis-angle. Safe up to theta < pi-eps."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
-    # Near theta ~ pi, sin(theta)->0 but w stays informative only to 1st
-    # order; recover the axis from the symmetric part instead.
-    sin_t = jnp.sqrt(jnp.clip(1.0 - cos_t * cos_t, 0.0, 1.0))
-    scale_generic = theta / jnp.where(sin_t < _EPS, 1.0, sin_t)
+    # atan2 formulation: finite gradients at the identity (arccos' blows up
+    # at cos=1, poisoning pose-graph Jacobians evaluated at near-zero error)
+    sin_t = safe_norm(w, axis=-1)
+    theta = jnp.arctan2(sin_t, cos_t)
+    small = sin_t < 1e-4
+    sin_safe = jnp.where(small, 1.0, sin_t)
+    # theta/sin(theta) -> 1 + theta^2/6 as theta -> 0
+    scale_generic = jnp.where(small, 1.0 + theta * theta / 6.0,
+                              theta / sin_safe)
     log_generic = w * scale_generic[..., None]
     # theta ~ pi branch: axis from diagonal of (R + I)/2 = axis axis^T scaled.
     B = (R + jnp.swapaxes(R, -1, -2)) * 0.5 + (1.0 - cos_t)[..., None, None] * 0.0
@@ -99,7 +110,7 @@ def so3_log(R):
 
 def _left_jacobian(phi):
     """SO(3) left Jacobian J_l(phi), (..., 3, 3)."""
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)[..., None]
+    theta = safe_norm(phi, axis=-1, keepdims=True)[..., None]
     K = hat(phi)
     I = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
     th2 = theta * theta
@@ -112,7 +123,7 @@ def _left_jacobian(phi):
 
 
 def _left_jacobian_inv(phi):
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)[..., None]
+    theta = safe_norm(phi, axis=-1, keepdims=True)[..., None]
     K = hat(phi)
     I = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
     th2 = theta * theta

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .se3 import hat, so3_exp, so3_log, _sinc, _cosc  # noqa: F401
+from .se3 import hat, so3_exp, so3_log, safe_norm, _sinc, _cosc  # noqa: F401
 
 
 def sim3_identity(dtype=jnp.float32):
@@ -41,7 +41,7 @@ def _sim3_W(phi, sigma):
     Closed form from Ethan Eade's Lie-group notes; Taylor fallbacks keep it
     differentiable at theta->0 and sigma->0.
     """
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = safe_norm(phi, axis=-1)
     s = jnp.exp(sigma)
     K = hat(phi)
     I = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
@@ -53,14 +53,17 @@ def _sim3_W(phi, sigma):
     th_small = theta < 1e-5
     th_safe = jnp.where(th_small, 1.0, theta)
     th2 = th_safe * th_safe
-    denom = sig_safe * sig_safe + th2
+    # B and C never divide by sigma — use the TRUE sigma here (substituting
+    # sig_safe=1 when sigma~0 silently corrupted every fixed-scale
+    # sim3_log: denominators and numerators both shifted).
+    denom = sigma * sigma + th2
 
     # B = (s*sin(th)*sigma + (1-s*cos(th))*th) / (th*(sig^2+th^2))
-    # C = (s*cos(th)-1)*sigma/(sig^2+th^2) ... standard closed forms:
+    # C = (A - ((s*cos(th)-1)*sigma + s*sin(th)*th)/denom) / th^2
     a = s * jnp.sin(th_safe)
     b = s * jnp.cos(th_safe)
-    B_gen = (a * sig_safe + (1.0 - b) * th_safe) / (th_safe * denom)
-    C_gen = (A_c - ((b - 1.0) * sig_safe + a * th_safe) / denom) / th2
+    B_gen = (a * sigma + (1.0 - b) * th_safe) / (th_safe * denom)
+    C_gen = (A_c - ((b - 1.0) * sigma + a * th_safe) / denom) / th2
 
     # theta->0 limits (any sigma): B -> (s*sigma + 1 - s)/sig^2 ~ 1/2 series
     B_th0 = jnp.where(

@@ -106,3 +106,14 @@ def test_sim3_apply(rng):
     y = np.asarray(sim3.sim3_apply(s, R, t, jnp.asarray(x)))
     y_ref = float(s) * (x @ np.asarray(R).T) + np.asarray(t)
     np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+
+def test_sim3_log_zero_sigma_regression(rng):
+    """sigma=0 with large theta hit a wrong-branch bug in _sim3_W (generic
+    B/C evaluated with sigma replaced by 1.0); exp/log must round-trip."""
+    xi = rng.normal(size=(64, 7)).astype(np.float32)
+    xi[:, 6] = 0.0                      # exact zero log-scale
+    s, R, t = sim3.sim3_exp(jnp.asarray(xi))
+    np.testing.assert_allclose(np.asarray(s), 1.0, atol=1e-6)
+    xi2 = np.asarray(sim3.sim3_log(s, R, t))
+    np.testing.assert_allclose(xi2, xi, atol=3e-4)
