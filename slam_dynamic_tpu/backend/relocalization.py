@@ -1,0 +1,70 @@
+"""Relocalization: BoW candidates -> PnP RANSAC -> LM pose polish.
+
+Equivalent of Tracking::Relocalization (/root/reference/src/
+Tracking.cc:2212-2373): KeyFrameDatabase::DetectRelocalizationCandidates
+supplies candidate keyframes; each candidate is matched by descriptors
+(SearchByBoW, >=15 matches), solved by PnP RANSAC (PnPsolver), polished by
+PoseOptimization, accepted at >=50 inliers.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import hamming as hm
+from ..ops.pnp import ransac_pnp
+from ..optim.pose_opt import optimize_pose
+from ..worldmap.state import MapState
+from ..worldmap import kfdb as kfdb_mod
+from ..models import vocabulary as voc_mod
+
+
+@jax.jit
+def _match_frame_kf(frame_desc, frame_valid, kf_desc, kf_valid, kf_obs):
+    """Descriptor match frame->KF restricted to keypoints WITH landmarks.
+    Returns per-frame-slot landmark id (-1 unmatched)."""
+    has_lm = kf_valid & (kf_obs >= 0)
+    dist = hm.masked_hamming_matrix(frame_desc, frame_valid, kf_desc, has_lm)
+    idx, d, ok = hm.match_nn(dist, max_dist=50, ratio=0.75, mutual=True)
+    lm = jnp.where(ok, kf_obs[jnp.clip(idx, 0, kf_obs.shape[0] - 1)], -1)
+    return lm
+
+
+def relocalize(m: MapState, db: kfdb_mod.KFDatabase, voc, cam, frame_data,
+               seed: int = 0, max_candidates: int = 5,
+               min_inliers: int = 50
+               ) -> Tuple[bool, Optional[jnp.ndarray],
+                          Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+    """Try to relocalize a lost frame. Returns (ok, R, t, obs_lm[N])."""
+    bv = voc_mod.transform(voc, frame_data.desc, frame_data.valid)
+    hist = voc_mod.bow_histogram(bv, voc.n_words)
+    cand = kfdb_mod.query(db, hist, m.covis, jnp.zeros_like(db.valid))
+    scores = np.asarray(cand.score)
+    order = np.argsort(-scores)[:max_candidates]
+    for rank, k in enumerate(order):
+        if scores[k] <= 0:
+            break
+        lm = _match_frame_kf(frame_data.desc,
+                             frame_data.valid & frame_data.static_mask,
+                             m.kf_kp_desc[k], m.kf_kp_valid[k],
+                             m.kf_obs_lm[k])
+        n_match = int((lm >= 0).sum())
+        if n_match < 15:              # ref :2265
+            continue
+        L = m.lm_pos.shape[0]
+        xw = m.lm_pos[jnp.clip(lm, 0, L - 1)]
+        ok_lm = (lm >= 0) & m.lm_valid[jnp.clip(lm, 0, L - 1)]
+        fit = ransac_pnp(cam, xw, frame_data.xy, ok_lm,
+                         jax.random.PRNGKey(seed + rank))
+        if int(fit.n_inliers) < 10:   # ref :2310
+            continue
+        inv_s2 = 1.0 / (frame_data.scale ** 2)
+        res = optimize_pose(cam, fit.R, fit.t, xw, frame_data.xy, inv_s2,
+                            ok_lm & fit.inliers, stereo=False)
+        if int(res.n_inliers) >= min_inliers:
+            obs = jnp.where(res.inliers & ok_lm, lm, -1)
+            return True, res.R, res.t, obs
+    return False, None, None, None

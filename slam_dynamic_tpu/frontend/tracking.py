@@ -62,6 +62,8 @@ class Tracker:
         self.last_kf_inliers = 0
         self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
         self.on_keyframe: Optional[Callable[[int], None]] = None
+        # optional relocalizer: frame -> (ok, R, t, obs_lm) (wired by System)
+        self.relocalizer: Optional[Callable] = None
         # perf knobs
         self._sf = float(cfg.orb.scale_factor)
 
@@ -71,8 +73,8 @@ class Tracker:
             st = self._initialize(frame)
         elif self.state == "OK":
             st = self._track(frame)
-        else:  # LOST
-            st = self._track(frame, lost=True)
+        else:  # LOST -> Relocalization (ref Tracking.cc:2212)
+            st = self._relocalize_then_track(frame)
 
         # velocity + trajectory bookkeeping
         if frame.R is not None:
@@ -85,9 +87,30 @@ class Tracker:
                 Rv = R @ Rl.T
                 tv = t - Rv @ tl
                 self.velocity = (Rv, tv)
-            self.trajectory.append((frame.timestamp, R, t))
+            # store the pose RELATIVE to the reference keyframe so later
+            # map corrections (local BA, loop closure) propagate into the
+            # exported trajectory (ref System::SaveTrajectoryTUM uses
+            # mlRelativeFramePoses the same way, System.cc:447-480)
+            k = max(self.last_kf_id, 0)
+            Rk = np.asarray(self.map.kf_R[k])
+            tk = np.asarray(self.map.kf_t[k])
+            R_rel = R @ Rk.T
+            t_rel = t - R_rel @ tk
+            self.trajectory.append((frame.timestamp, k, R_rel, t_rel))
         self.last_frame = frame
         return st
+
+    def trajectory_poses(self) -> List[Tuple[float, np.ndarray, np.ndarray]]:
+        """Absolute (Tcw) per-frame trajectory composed against the CURRENT
+        keyframe poses (so BA/loop corrections are reflected)."""
+        kf_R = np.asarray(self.map.kf_R)
+        kf_t = np.asarray(self.map.kf_t)
+        out = []
+        for ts, k, R_rel, t_rel in self.trajectory:
+            R = R_rel @ kf_R[k]
+            t = R_rel @ kf_t[k] + t_rel
+            out.append((ts, R, t))
+        return out
 
     # ------------------------------------------------------------------
     def _initialize(self, frame: Frame) -> TrackStats:
@@ -116,6 +139,22 @@ class Tracker:
         if self.on_keyframe:
             self.on_keyframe(k)
         return TrackStats("OK", is_keyframe=True)
+
+    # ------------------------------------------------------------------
+    def _relocalize_then_track(self, frame: Frame) -> TrackStats:
+        if self.relocalizer is not None:
+            ok, R, t, obs = self.relocalizer(frame)
+            if ok:
+                frame.R, frame.t = R, t
+                frame.obs_lm = obs
+                self.velocity = None
+                # resume as if motion-model frame: refine on local map
+                self.last_frame = frame
+                self.state = "OK"
+                return self._track(frame)
+        frame.R, frame.t = None, None
+        frame.obs_lm = jnp.full(frame.data.xy.shape[0], -1, jnp.int32)
+        return TrackStats("LOST")
 
     # ------------------------------------------------------------------
     def _predict_pose(self):

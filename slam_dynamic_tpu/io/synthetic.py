@@ -46,6 +46,8 @@ class SynthConfig:
     obj_bob: float = 0.35           # vertical bobbing amplitude (m)
     stereo: bool = False
     texture_cells: float = 2.8      # checker frequency (cells per metre)
+    trajectory: str = "sweep"       # "sweep" | "orbit" (closed loop)
+    orbit_radius: float = 1.2       # metres (orbit mode)
 
 
 class SyntheticSequence(NamedTuple):
@@ -91,6 +93,20 @@ def _texture(u, v, seed, cells):
 def _trajectory(cfg: SynthConfig):
     T = cfg.n_frames
     t = np.arange(T, dtype=np.float32)
+    if cfg.trajectory == "orbit":
+        # closed circuit: camera orbits the room centre, yawing with the
+        # tangent; final frames overlap the start (loop-closure scenario)
+        th = 2 * np.pi * t / (T - max(T // 10, 2))
+        r = cfg.orbit_radius
+        pos = np.stack([r * np.sin(th), 0.05 * np.sin(2 * th) + 0.0,
+                        3.0 + r - r * np.cos(th)], axis=1)
+        yaw = th
+        R = np.zeros((T, 3, 3), np.float32)
+        for i in range(T):
+            cy_, sy = np.cos(yaw[i]), np.sin(yaw[i])
+            R[i] = np.array([[cy_, 0, sy], [0, 1, 0], [-sy, 0, cy_]],
+                            np.float32)
+        return R, pos.astype(np.float32)
     pos = np.stack([
         cfg.sway * np.sin(2 * np.pi * t / 90.0),
         0.15 * np.sin(2 * np.pi * t / 130.0),

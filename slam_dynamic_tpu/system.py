@@ -38,6 +38,45 @@ class System:
         if cfg.detector.mode != "off":
             from .frontend.dynamics import DynamicsModule
             self.dynamics = DynamicsModule(cfg, self.cam)
+        # place recognition (vocabulary trained lazily on the first KF,
+        # unless a pretrained one is configured)
+        self.voc = None
+        self.loop = None
+        if cfg.vocabulary.path:
+            from .models import vocabulary as voc_mod
+            self.voc = voc_mod.load(cfg.vocabulary.path)
+        self.tracker.on_keyframe = self._on_keyframe
+        self.tracker.relocalizer = self._relocalize
+
+    # ------------------------------------------------------------------
+    def _ensure_voc(self):
+        if self.voc is None:
+            from .models import vocabulary as voc_mod
+            m = self.tracker.map
+            desc = np.asarray(m.kf_kp_desc[0])[np.asarray(m.kf_kp_valid[0])]
+            self.voc = voc_mod.train(desc, k=self.cfg.vocabulary.k,
+                                     levels=min(self.cfg.vocabulary.levels,
+                                                3),
+                                     seed=self.cfg.seed)
+        if self.loop is None:
+            from .backend.loop_closing import LoopCloser
+            self.loop = LoopCloser(self.cfg, self.cam, self.voc)
+
+    def _on_keyframe(self, k: int):
+        self._ensure_voc()
+        stereo = self.cfg.sensor in ("stereo", "rgbd")
+        m, result = self.loop.on_keyframe(self.tracker.map, k, stereo)
+        self.tracker.map = m
+        self.last_loop = result
+
+    def _relocalize(self, frame):
+        if self.loop is None:
+            return False, None, None, None
+        from .backend import relocalization
+        return relocalization.relocalize(
+            self.tracker.map, self.loop.db, self.voc, self.cam, frame.data,
+            seed=self.cfg.seed + frame.frame_id,
+            min_inliers=self.cfg.tracking.min_inliers_after_reloc)
 
     # ------------------------------------------------------------------
     def _advance_boxes(self, detections: Optional[np.ndarray]):
@@ -101,13 +140,13 @@ class System:
     # ------------------------------------------------------------------
     @property
     def trajectory(self):
-        return self.tracker.trajectory
+        return self.tracker.trajectory_poses()
 
     def save_trajectory_tum(self, path: str):
-        traj_io.save_tum(path, self.tracker.trajectory)
+        traj_io.save_tum(path, self.trajectory)
 
     def save_trajectory_kitti(self, path: str):
-        traj_io.save_kitti(path, self.tracker.trajectory)
+        traj_io.save_kitti(path, self.trajectory)
 
     def save_keyframe_trajectory_tum(self, path: str):
         m = self.tracker.map
