@@ -125,7 +125,7 @@ def create_new_landmarks(m: MapState, cam: Intrinsics, k: int,
     """Triangulate KF k against its best covisible neighbors and insert the
     new landmarks (host loop over <=n_neighbors pairs, device math)."""
     import numpy as np
-    covis = np.asarray(m.covis[k])
+    covis = np.array(m.covis[k])           # writable copy
     covis[int(k):] = 0                     # only earlier KFs
     order = np.argsort(-covis)[:n_neighbors]
     sf = jnp.float32(scale_factor)

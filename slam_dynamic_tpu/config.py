@@ -77,6 +77,7 @@ class TrackingConfig:
     min_inliers_after_reloc: int = 50
     reloc_max_candidates: int = 8
     # dynamic-scene handling
+    mono_init_min_matches: int = 100       # ref :1445 (scale with features)
     ref_frame_age_s: float = 0.2           # ref :623
     frame_queue_factor: float = 0.3        # queue cap 0.3*fps, ref :954
     dyn_confirm_frames: int = 2            # 2 consecutive dyn frames, ref :1213

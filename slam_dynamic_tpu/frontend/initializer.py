@@ -40,7 +40,9 @@ def try_initialize(cam: Intrinsics, ref: FrameData, cur: FrameData,
     """One attempt at two-view initialization (ref frame slot-aligned)."""
     pm = hm.radius_pair_mask(ref.xy, cur.xy,
                              jnp.full(ref.xy.shape[0], window_px))
-    lvl0 = (ref.level[:, None] == 0) & (cur.level[None, :] == 0)  # ref :570
+    # ref matches level-0 only (:570); we admit levels 0-1 so smaller
+    # feature budgets still reach the match quorum
+    lvl0 = (ref.level[:, None] <= 1) & (cur.level[None, :] <= 1)
     dist = hm.masked_hamming_matrix(ref.desc, ref.valid & ref.static_mask,
                                     cur.desc, cur.valid & cur.static_mask,
                                     pair_mask=pm & lvl0)

@@ -115,7 +115,10 @@ class Tracker:
     # ------------------------------------------------------------------
     def _initialize(self, frame: Frame) -> TrackStats:
         """StereoInitialization (ref :1370-1422): need >=500 features; first
-        KF at identity; landmarks from all depth-valid keypoints."""
+        KF at identity; landmarks from all depth-valid keypoints. Mono
+        dispatches to the two-view bootstrap."""
+        if self.cfg.sensor == "mono":
+            return self._initialize_mono(frame)
         n = int(jnp.sum(frame.data.valid & frame.data.static_mask &
                         (frame.data.depth > 0)))
         if n < 300:
@@ -138,6 +141,78 @@ class Tracker:
         self.last_kf_inliers = n
         if self.on_keyframe:
             self.on_keyframe(k)
+        return TrackStats("OK", is_keyframe=True)
+
+    # ------------------------------------------------------------------
+    def _initialize_mono(self, frame: Frame) -> TrackStats:
+        """MonocularInitialization (ref :1424-1616)."""
+        from .initializer import try_initialize
+        from ..worldmap.state import insert_keyframe, add_landmarks
+        n = int(jnp.sum(frame.data.valid & frame.data.static_mask))
+        if n < 100:
+            self._init_ref = None
+            return TrackStats("NOT_INITIALIZED")
+        ref = getattr(self, "_init_ref", None)
+        if ref is None:
+            self._init_ref = frame
+            return TrackStats("NOT_INITIALIZED")
+        min_m = min(self.cfg.tracking.mono_init_min_matches,
+                    max(self.cfg.orb.n_features // 8, 40))
+        init = try_initialize(self.cam, ref.data, frame.data,
+                              seed=self.cfg.seed + frame.frame_id,
+                              min_matches=min_m)
+        if int(init.n_matches) < min_m:
+            self._init_ref = frame        # restart from this frame (ref :1460)
+            return TrackStats("NOT_INITIALIZED")
+        if not bool(init.ok):
+            return TrackStats("NOT_INITIALIZED")
+
+        N = frame.data.xy.shape[0]
+        no_obs = jnp.full(N, -1, jnp.int32)
+        R0 = jnp.eye(3)
+        t0 = jnp.zeros(3)
+        m = insert_keyframe(self.map, R0, t0, ref.frame_id, ref.timestamp,
+                            ref.data.xy, ref.data.level, ref.data.angle,
+                            ref.data.desc,
+                            ref.data.valid & ref.data.static_mask,
+                            ref.data.ur, ref.data.depth, no_obs)
+        dist = jnp.linalg.norm(init.points, axis=-1)
+        normal = init.points / jnp.maximum(dist, 1e-9)[:, None]
+        lvl_scale = self._sf ** ref.data.level.astype(jnp.float32)
+        dmax = dist * lvl_scale
+        dmin = dmax / (self._sf ** (self.cfg.orb.n_levels - 1))
+        slots = jnp.arange(N, dtype=jnp.int32)
+        m = add_landmarks(m, init.points, ref.data.desc, normal, dmin, dmax,
+                          jnp.zeros(N, jnp.int32), slots, init.good)
+        new_ids = m.kf_obs_lm[0]
+        # second keyframe observations at matched slots
+        obs1 = jnp.full(N, -1, jnp.int32)
+        tgt = jnp.where(init.good & (new_ids >= 0), init.idx2, 0)
+        obs1 = obs1.at[tgt].set(
+            jnp.where(init.good & (new_ids >= 0), new_ids, obs1[tgt]))
+        m = insert_keyframe(m, init.R2, init.t2, frame.frame_id,
+                            frame.timestamp, frame.data.xy,
+                            frame.data.level, frame.data.angle,
+                            frame.data.desc,
+                            frame.data.valid & frame.data.static_mask,
+                            frame.data.ur, frame.data.depth, obs1)
+        self.map = m
+        # initial BA over the 2-view map (ref GlobalBundleAdjustemnt(20))
+        self.map = local_ba(self.map, self.cam, jnp.int32(1),
+                            jnp.float32(self._sf), stereo=False,
+                            max_kf=4,
+                            max_lm=self.cfg.capacity.local_ba_landmarks)
+        frame.R = self.map.kf_R[1]
+        frame.t = self.map.kf_t[1]
+        frame.obs_lm = self.map.kf_obs_lm[1]
+        self.state = "OK"
+        self.last_kf_id = 1
+        self.frames_since_kf = 0
+        self.last_kf_inliers = int((frame.obs_lm >= 0).sum())
+        self._init_ref = None
+        if self.on_keyframe:
+            self.on_keyframe(0)
+            self.on_keyframe(1)
         return TrackStats("OK", is_keyframe=True)
 
     # ------------------------------------------------------------------
@@ -281,6 +356,11 @@ class Tracker:
         self.frames_since_kf = 0
         self.last_kf_inliers = n_map
         # mapping stage (synchronous pipeline)
+        if not self.stereo_obs:
+            # mono: new landmarks come from triangulation, not depth
+            from ..backend.triangulation import create_new_landmarks
+            self.map = create_new_landmarks(self.map, self.cam, k, self._sf,
+                                            n_levels=self.cfg.orb.n_levels)
         self.map = cull_landmarks(self.map, jnp.int32(k))
         if k >= 2:
             self.map = local_ba(

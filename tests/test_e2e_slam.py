@@ -80,3 +80,27 @@ def test_rgbd_trajectory_files(tmp_path):
     # rotation part orthonormal
     R0 = kr[0].reshape(3, 4)[:, :3]
     np.testing.assert_allclose(R0 @ R0.T, np.eye(3), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_mono_initialization_and_tracking():
+    """Monocular bootstrap (H/F select + cheirality) then tracking with
+    triangulated landmarks; scale-free ATE via Sim3 alignment."""
+    scfg = SynthConfig(n_frames=30, width=320, height=240, fx=260.0,
+                       fy=260.0, cx=159.5, cy=119.5, advance=0.04, sway=0.5)
+    seq = generate(scfg)
+    sys_ = make_system(scfg)
+    sys_.cfg = sys_.cfg.replace(sensor="mono")
+    sys_.tracker.cfg = sys_.cfg
+    sys_.tracker.stereo_obs = False
+    states = []
+    for i in range(seq.gray.shape[0]):
+        st = sys_.track_mono(seq.gray[i], float(seq.timestamps[i]))
+        states.append(st.state)
+    assert states.count("OK") >= 25
+    traj = sys_.trajectory
+    est = np.stack([-R.T @ t for _, R, t in traj])
+    idx0 = seq.gray.shape[0] - len(traj)
+    gt = seq.t_wc[idx0:idx0 + len(est)]
+    ate = ate_rmse(est, gt, with_scale=True)
+    assert ate < 0.15, ate
