@@ -1,0 +1,120 @@
+"""Dense point-cloud ops: masked backprojection, voxel downsampling, OBB.
+
+TPU-native equivalent of PointCloudMapping::generatePointCloud
+(/root/reference/src/pointcloudmapping.cc:59-103: stride-3 backprojection
+excluding dynamic boxes/mask and out-of-range depths, pose transform, PCL
+voxel-grid downsample) and of the PCL MomentOfInertiaEstimation OBB used
+for dynamic objects (/root/reference/src/Tracking.cc:840-848). Voxel
+dedup is fixed-shape: voxel hashing + sort + first-occurrence masking.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.camera import Intrinsics
+
+
+@functools.partial(jax.jit, static_argnames=("stride",))
+def backproject_dense(cam: Intrinsics, gray, depth_map, R_cw, t_cw,
+                      dyn_mask, stride: int = 3, min_depth: float = 0.01,
+                      max_depth: float = 5.0):
+    """Dense world-frame cloud from one RGB-D keyframe.
+
+    gray/depth_map: [H, W]; dyn_mask: [H, W] bool True=dynamic (excluded).
+    Returns (points [M, 3], intensity [M], valid [M]) with
+    M = (H/stride)*(W/stride).
+    """
+    h, w = depth_map.shape
+    ys = jnp.arange(0, h - (h % stride), stride)
+    xs = jnp.arange(0, w - (w % stride), stride)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    d = depth_map[yy, xx]
+    g = gray[yy, xx]
+    dyn = dyn_mask[yy, xx]
+    ok = (d > min_depth) & (d < max_depth) & ~dyn
+    x = (xx.astype(jnp.float32) - cam.cx) / cam.fx * d
+    y = (yy.astype(jnp.float32) - cam.cy) / cam.fy * d
+    xc = jnp.stack([x, y, d], axis=-1).reshape(-1, 3)
+    # world: x_w = R^T (x_c - t)
+    xw = (xc - t_cw[None, :]) @ R_cw
+    return xw, g.reshape(-1), ok.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("max_out",))
+def voxel_downsample(points, intensity, valid, resolution: float,
+                     max_out: int = 65536):
+    """Keep one point per occupied voxel (first hit), fixed output shape.
+
+    Returns (points [max_out, 3], intensity [max_out], valid [max_out]).
+    """
+    # int32 spatial hash (jax x64 is off); rare collisions merge distinct
+    # voxels, which is harmless for downsampling
+    v = jnp.floor(points / resolution).astype(jnp.int32)
+    key = ((v[:, 0] * 73856093) ^ (v[:, 1] * 19349663)
+           ^ (v[:, 2] * 83492791))
+    key = jnp.where(key == jnp.int32(2**31 - 1), 0, key)
+    key = jnp.where(valid, key, jnp.int32(2**31 - 1))
+    order = jnp.argsort(key)
+    ks = key[order]
+    first = jnp.concatenate([jnp.ones(1, bool), ks[1:] != ks[:-1]])
+    first &= ks < 2**31 - 1
+    idx = jnp.nonzero(first, size=max_out, fill_value=points.shape[0])[0]
+    src = order[jnp.clip(idx, 0, points.shape[0] - 1)]
+    out_valid = idx < points.shape[0]
+    return (points[src], intensity[src], out_valid)
+
+
+class OBB(NamedTuple):
+    center: jnp.ndarray     # [3]
+    axes: jnp.ndarray       # [3, 3] rows = principal directions
+    extents: jnp.ndarray    # [3] half-lengths
+    valid: jnp.ndarray      # bool
+
+
+@jax.jit
+def obb_from_points(points, mask) -> OBB:
+    """Oriented bounding box by PCA (covariance eigendecomposition) —
+    equivalent of PCL MomentOfInertiaEstimation::getOBB."""
+    wsum = jnp.maximum(mask.sum(), 1)
+    mu = jnp.sum(points * mask[:, None], axis=0) / wsum
+    c = (points - mu) * mask[:, None]
+    cov = c.T @ c / wsum
+    evals, evecs = jnp.linalg.eigh(cov)
+    axes = evecs.T[::-1]                     # rows, major axis first
+    proj = c @ axes.T                        # [N, 3] in box frame
+    lo = jnp.min(jnp.where(mask[:, None], proj, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(mask[:, None], proj, -jnp.inf), axis=0)
+    center = mu + axes.T @ ((lo + hi) * 0.5)
+    ext = (hi - lo) * 0.5
+    return OBB(center, axes, ext, mask.sum() >= 10)
+
+
+def save_ply(path: str, points, intensity=None, valid=None):
+    """Write an ASCII PLY cloud (PCD-equivalent export,
+    ref pointcloudmapping.cc:161-166 savePCD)."""
+    import numpy as np
+    pts = np.asarray(points)
+    if valid is not None:
+        v = np.asarray(valid)
+        pts = pts[v]
+        inten = np.asarray(intensity)[v] if intensity is not None else None
+    else:
+        inten = np.asarray(intensity) if intensity is not None else None
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(pts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if inten is not None:
+            f.write("property uchar red\nproperty uchar green\n"
+                    "property uchar blue\n")
+        f.write("end_header\n")
+        for i, p in enumerate(pts):
+            if inten is not None:
+                g = int(np.clip(inten[i], 0, 255))
+                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} {g} {g} {g}\n")
+            else:
+                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
