@@ -1,0 +1,138 @@
+"""CLI driver: run SLAM over a dataset and export artifacts.
+
+Equivalent of the reference's Examples drivers (stereo_kitti.cc,
+rgbd_my.cc, mono_tum.cc): per-frame loop, detector invocation (online or
+precomputed), timing statistics (median/mean track time,
+stereo_kitti.cc:161-170), trajectory export, optional evaluation.
+
+Usage:
+  python -m slam_dynamic_tpu.io.run --dataset synthetic --frames 60 \
+      --sensor rgbd --dynamic --out /tmp/run1
+  python -m slam_dynamic_tpu.io.run --dataset tum --path <dir> --yaml <cfg>
+  python -m slam_dynamic_tpu.io.run --dataset kitti --path <seq_dir> \
+      --yaml Examples/Stereo/KITTI04-12.yaml --sensor stereo
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_config(args):
+    from ..config import (SystemConfig, CameraConfig, ORBConfig,
+                          DetectorConfig, CapacityConfig, load_yaml)
+    if args.yaml:
+        cfg = load_yaml(args.yaml)
+    elif args.dataset == "synthetic":
+        from .synthetic import SynthConfig
+        s = SynthConfig()
+        cfg = SystemConfig(camera=CameraConfig(
+            fx=s.fx, fy=s.fy, cx=s.cx, cy=s.cy, bf=s.fx * s.baseline,
+            width=s.width, height=s.height, th_depth=120.0))
+    else:
+        cfg = SystemConfig()
+    det_mode = "precomputed" if args.dynamic else "off"
+    return cfg.replace(sensor=args.sensor,
+                       detector=cfg.detector.__class__(mode=det_mode))
+
+
+def make_dataset(args, cfg):
+    from .datasets import TumRGBD, KittiStereo, SyntheticDataset
+    if args.dataset == "tum":
+        return TumRGBD(args.path, cfg.camera.depth_map_factor,
+                       boxes_dir=args.boxes, masks_dir=args.masks)
+    if args.dataset == "kitti":
+        return KittiStereo(args.path, boxes_dir=args.boxes)
+    from .synthetic import SynthConfig, generate
+    s = SynthConfig(n_frames=args.frames,
+                    dynamic_object=args.dynamic,
+                    stereo=(args.sensor == "stereo"),
+                    trajectory=args.trajectory)
+    seq = generate(s)
+    return SyntheticDataset(seq, use_boxes=args.dynamic,
+                            stereo=(args.sensor == "stereo"))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", choices=["synthetic", "tum", "kitti"],
+                    default="synthetic")
+    ap.add_argument("--path", default="")
+    ap.add_argument("--yaml", default="")
+    ap.add_argument("--sensor", choices=["mono", "stereo", "rgbd"],
+                    default="rgbd")
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--dynamic", action="store_true")
+    ap.add_argument("--trajectory", default="sweep")
+    ap.add_argument("--boxes", default=None, help="precomputed boxes dir")
+    ap.add_argument("--masks", default=None, help="precomputed masks dir")
+    ap.add_argument("--out", default="/tmp/slam_run")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--ply", action="store_true", help="export dense map")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..system import System
+    cfg = build_config(args)
+    data = make_dataset(args, cfg)
+    sys_ = System(cfg)
+
+    dense = None
+    if args.ply and args.sensor == "rgbd":
+        from ..backend.dense_map import DenseMapper
+        dense = DenseMapper(cfg, sys_.cam)
+
+    os.makedirs(args.out, exist_ok=True)
+    times = []
+    n_lost = 0
+    for pkt in data:
+        t0 = time.time()
+        if args.sensor == "rgbd":
+            st = sys_.track_rgbd(pkt.gray, pkt.depth, pkt.timestamp,
+                                 detections=pkt.detections, mask=pkt.mask)
+        elif args.sensor == "stereo":
+            st = sys_.track_stereo(pkt.gray, pkt.right, pkt.timestamp,
+                                   detections=pkt.detections)
+        else:
+            st = sys_.track_mono(pkt.gray, pkt.timestamp)
+        times.append(time.time() - t0)
+        n_lost += st.state != "OK"
+        if dense is not None and st.is_keyframe and st.state == "OK":
+            fr = sys_.tracker.last_frame
+            dense.insert_keyframe(
+                pkt.gray, pkt.depth, np.asarray(fr.R), np.asarray(fr.t),
+                dyn_mask=pkt.mask)
+
+    sys_.save_trajectory_tum(os.path.join(args.out, "FrameTrajectory.txt"))
+    sys_.save_trajectory_kitti(os.path.join(args.out,
+                                            "CameraTrajectory_kitti.txt"))
+    sys_.save_keyframe_trajectory_tum(
+        os.path.join(args.out, "KeyFrameTrajectory.txt"))
+    if dense is not None:
+        dense.save_ply(os.path.join(args.out, "map.ply"))
+    # timing stats as the reference drivers print (stereo_kitti.cc:161-170)
+    ts = np.sort(np.asarray(times))
+    summary = {
+        "frames": len(times),
+        "lost": n_lost,
+        "median_track_s": float(np.median(ts)),
+        "mean_track_s": float(ts.mean()),
+        "fps": float(1.0 / max(ts.mean(), 1e-9)),
+        "keyframes": int(sys_.tracker.map.n_kf),
+        "landmarks": int(sys_.tracker.map.n_lm),
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
