@@ -1,0 +1,114 @@
+"""Landmark fusion and keyframe culling.
+
+Equivalents of LocalMapping::SearchInNeighbors + ORBmatcher::Fuse
+(/root/reference/src/LocalMapping.cc:455-535, ORBmatcher.cc:982-1133) and
+LocalMapping::KeyFrameCulling (:633-697, the >=90% redundancy rule).
+
+Fusion here is the duplicate-merge step: local-map landmarks are projected
+into the new keyframe; a matched keypoint that already references a
+DIFFERENT landmark triggers a merge (the landmark with fewer observations
+is replaced by the other — MapPoint::Replace), applied map-wide with one
+replacement-table gather. Unbound matched keypoints gain an observation.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import hamming as hm
+from ..utils.camera import Intrinsics, project
+from ..worldmap.state import MapState, update_covisibility
+
+
+@functools.partial(jax.jit, static_argnames=("max_lm",))
+def fuse_into_keyframe(m: MapState, cam: Intrinsics, k, lm_ids, lm_mask,
+                       scale_factor, radius_px: float = 3.0,
+                       max_hamming: int = 50, max_lm: int = 4096) -> MapState:
+    """Fuse a landmark set (usually the local map) into keyframe k."""
+    L = m.lm_pos.shape[0]
+    ids = jnp.where(lm_mask, lm_ids, 0)
+    pos = m.lm_pos[ids]
+    desc = m.lm_desc[ids]
+    ok = lm_mask & m.lm_valid[ids]
+
+    # project into k
+    R = m.kf_R[k]
+    t = m.kf_t[k]
+    xc = pos @ R.T + t
+    uv = project(cam, xc)
+    ok = ok & (xc[:, 2] > 0.1)
+
+    # search radius follows the KEYPOINT's octave (ref Fuse :1040)
+    radius = radius_px * scale_factor ** m.kf_kp_level[k].astype(jnp.float32)
+    d2 = jnp.sum((uv[:, None, :] - m.kf_kp_xy[k][None, :, :]) ** 2, -1)
+    pair = d2 <= (radius[None, :] ** 2)
+    dist = hm.masked_hamming_matrix(desc, ok, m.kf_kp_desc[k],
+                                    m.kf_kp_valid[k], pair_mask=pair)
+    # match from the landmark side: each landmark picks its best keypoint
+    lm_kp, dbest, mok = hm.match_nn(dist, max_dist=max_hamming)
+
+    cur_obs = m.kf_obs_lm[k]
+    tgt_kp = jnp.where(mok, lm_kp, 0)
+    existing = cur_obs[tgt_kp]                    # [max_lm]
+    new_id = ids
+
+    # case 1: keypoint unbound -> bind this landmark
+    bind = mok & (existing < 0)
+    obs_k = cur_obs.at[jnp.where(bind, lm_kp, 0)].set(
+        jnp.where(bind, new_id.astype(jnp.int32), cur_obs[jnp.where(
+            bind, lm_kp, 0)]))
+
+    # case 2: keypoint bound to a DIFFERENT landmark -> merge: loser is the
+    # one with fewer observations; build replacement table rep[loser]=winner
+    conflict = mok & (existing >= 0) & (existing != new_id)
+    n_a = m.lm_n_obs[jnp.clip(existing, 0, L - 1)]
+    n_b = m.lm_n_obs[jnp.clip(new_id, 0, L - 1)]
+    winner = jnp.where(n_a >= n_b, existing, new_id)
+    loser = jnp.where(n_a >= n_b, new_id, existing)
+    rep = jnp.arange(L, dtype=jnp.int32)
+    rep = rep.at[jnp.where(conflict, loser, L - 1)].set(
+        jnp.where(conflict, winner.astype(jnp.int32), rep[jnp.where(
+            conflict, loser, L - 1)]))
+    # one-step table application across ALL keyframe observations
+    all_obs = m.kf_obs_lm
+    all_obs = jnp.where(all_obs >= 0, rep[jnp.clip(all_obs, 0, L - 1)],
+                        all_obs)
+    all_obs = all_obs.at[k].set(
+        jnp.where(obs_k >= 0, rep[jnp.clip(obs_k, 0, L - 1)], obs_k))
+    lm_valid = m.lm_valid & (rep == jnp.arange(L))
+
+    # recompute n_obs
+    flat = jnp.where((all_obs >= 0) & m.kf_kp_valid, all_obs, L).reshape(-1)
+    n_obs = jnp.zeros(L + 1, jnp.int32).at[flat].add(1)[:L]
+    m = m._replace(kf_obs_lm=all_obs, lm_valid=lm_valid, lm_n_obs=n_obs)
+    return update_covisibility(m, k)
+
+
+@jax.jit
+def cull_keyframes(m: MapState, center_kf, redundancy: float = 0.9,
+                   min_obs_for_redundant: int = 4) -> MapState:
+    """KeyFrameCulling (ref :633-697): discard covisible keyframes whose
+    observations are >=90% redundant (landmark seen by >=3 other KFs).
+    KF 0 and the current KF are immune."""
+    K, N = m.kf_obs_lm.shape
+    L = m.lm_pos.shape[0]
+    obs = m.kf_obs_lm
+    has = (obs >= 0) & m.kf_kp_valid
+    nobs = m.lm_n_obs[jnp.clip(obs, 0, L - 1)]
+    redundant = has & (nobs >= min_obs_for_redundant)
+    total = has.sum(axis=1)
+    red = redundant.sum(axis=1)
+    ratio = red / jnp.maximum(total, 1)
+    cand = (m.kf_valid & (m.covis[center_kf] > 0)
+            & (jnp.arange(K) != center_kf) & (jnp.arange(K) != 0))
+    kill = cand & (ratio > redundancy) & (total > 50)
+    kf_valid = m.kf_valid & ~kill
+    # clear observations of killed KFs + refresh n_obs
+    all_obs = jnp.where(kill[:, None], -1, m.kf_obs_lm)
+    flat = jnp.where((all_obs >= 0) & m.kf_kp_valid, all_obs, L).reshape(-1)
+    n_obs = jnp.zeros(L + 1, jnp.int32).at[flat].add(1)[:L]
+    covis = jnp.where(kill[:, None] | kill[None, :], 0, m.covis)
+    return m._replace(kf_valid=kf_valid, kf_obs_lm=all_obs, lm_n_obs=n_obs,
+                      covis=covis)

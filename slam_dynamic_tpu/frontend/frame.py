@@ -54,6 +54,9 @@ class Frame:
     boxes: Optional[np.ndarray] = None
     box_ids: Optional[np.ndarray] = None
     box_status: Optional[np.ndarray] = None   # 0 tentative, 1 static, 2 dynamic
+    # cached host copies of the pose (avoid device fetches on hot path)
+    np_R: Optional[np.ndarray] = None
+    np_t: Optional[np.ndarray] = None
 
 
 def keypoints_in_boxes(xy: jnp.ndarray, valid: jnp.ndarray,

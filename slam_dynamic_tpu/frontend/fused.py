@@ -1,0 +1,179 @@
+"""The fused per-frame tracking step: ONE device call, ONE packed readback.
+
+Motivation (measured on the axon TPU tunnel): kernel time is trivial
+(ORB extraction 0.13 ms/frame) but every device->host readback costs
+~30 ms. The reference's per-frame hot path therefore maps to a single jit
+unit:
+
+  extract (+right-image extract / depth lookup) -> undistort -> box
+  quarantine -> track vs last-frame landmarks (motion model) -> wide
+  re-search fallback (computed unconditionally, selected by mask) ->
+  local-map selection -> track vs local map -> landmark stat bumps ->
+  keyframe-decision statistics
+
+and everything the host state machine needs returns as ONE [16]-float
+packet (counts + pose). Keyframe insertion/BA remain separate conditional
+calls (they run on few frames). When the dynamic-object reclassifier is
+active, the frame is built and classified first and the prebuilt variant
+is used (3 device calls/frame instead of 1).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ORBConfig
+from ..ops.stereo import depth_from_rgbd, match_stereo
+from ..utils.camera import Intrinsics, undistort_points
+from ..worldmap.state import MapState
+from .extractor import _extract_impl
+from .frame import FrameData, pad_frame_data
+from . import tracking_ops as tops
+
+
+class FusedOut(NamedTuple):
+    fd: FrameData            # device-resident frame
+    obs_lm: jnp.ndarray      # [N] global landmark ids (-1)
+    R: jnp.ndarray
+    t: jnp.ndarray
+    lm_visible: jnp.ndarray  # updated map counters
+    lm_found: jnp.ndarray
+    packed: jnp.ndarray      # [16] float32 host packet:
+    # 0 n_mm, 1 n_map, 2 close_bound, 3 close_unbound,
+    # 4:13 R flat, 13:16 t
+
+
+def build_frame_data(cam: Intrinsics, image, aux, boxes, box_active,
+                     orb_cfg: ORBConfig, height: int, width: int,
+                     scale_factor, sensor: str,
+                     n_slots: int = 0) -> FrameData:
+    """Device-side frame construction (all sensors)."""
+    kp = _extract_impl(image, orb_cfg, height, width)
+    xy = undistort_points(cam, kp.xy)
+    scale = scale_factor ** kp.level.astype(jnp.float32)
+    if sensor == "rgbd":
+        sm = depth_from_rgbd(aux, kp.xy, kp.valid, cam.bf)
+        ur, depth = sm.u_right, sm.depth
+    elif sensor == "stereo":
+        kp_r = _extract_impl(aux, orb_cfg, height, width)
+        scale_r = scale_factor ** kp_r.level.astype(jnp.float32)
+        sm = match_stereo(image, aux, kp, kp_r, cam.bf, 0.1, scale, scale_r)
+        ur, depth = sm.u_right, sm.depth
+    else:
+        ur = jnp.full(kp.xy.shape[0], -1.0)
+        depth = jnp.full(kp.xy.shape[0], -1.0)
+    inside = ((xy[:, None, 0] >= boxes[None, :, 0])
+              & (xy[:, None, 0] <= boxes[None, :, 2])
+              & (xy[:, None, 1] >= boxes[None, :, 1])
+              & (xy[:, None, 1] <= boxes[None, :, 3])
+              & box_active[None, :]).any(axis=1)
+    static = kp.valid & ~inside
+    fd = FrameData(xy=xy, xy_raw=kp.xy, level=kp.level, angle=kp.angle,
+                    response=kp.response, desc=kp.desc, valid=kp.valid,
+                    ur=ur, depth=depth, static_mask=static, scale=scale)
+    if n_slots:
+        fd = pad_frame_data(fd, n_slots)
+    return fd
+
+
+def _track_stages(m: MapState, cam, bounds, fd: FrameData, last_obs_lm,
+                  R_pred, t_pred, R_last, t_last, mm_radius, local_radius,
+                  depth_th, scale_factor, min_inliers_track, stereo,
+                  max_kf, max_lm, n_levels) -> FusedOut:
+    N = fd.xy.shape[0]
+    L = m.lm_pos.shape[0]
+    idc = jnp.clip(jnp.where(last_obs_lm >= 0, last_obs_lm, 0), 0, L - 1)
+    ok_lm = (last_obs_lm >= 0) & m.lm_valid[idc]
+    lm_pos = m.lm_pos[idc]
+    lm_desc = m.lm_desc[idc]
+    lm_norm = m.lm_normal[idc]
+    lm_dmin = m.lm_dist_min[idc]
+    lm_dmax = m.lm_dist_max[idc]
+
+    out1 = tops.track_against_landmarks(
+        cam, bounds, R_pred, t_pred, lm_pos, lm_desc, lm_norm, lm_dmin,
+        lm_dmax, ok_lm, fd, mm_radius, scale_factor, stereo=stereo,
+        n_levels=n_levels, use_view_gate=False)
+    out1w = tops.track_against_landmarks(
+        cam, bounds, R_last, t_last, lm_pos, lm_desc, lm_norm, lm_dmin,
+        lm_dmax, ok_lm, fd, 2.0 * mm_radius, scale_factor, stereo=stereo,
+        n_levels=n_levels, use_view_gate=False)
+    use_wide = out1.n_inliers < min_inliers_track
+    n_mm = jnp.where(use_wide, out1w.n_inliers, out1.n_inliers)
+    R1 = jnp.where(use_wide, out1w.R, out1.R)
+    t1 = jnp.where(use_wide, out1w.t, out1.t)
+    kp_lm1 = jnp.where(use_wide, out1w.kp_lm, out1.kp_lm)
+    kp_lm_global = jnp.where(
+        kp_lm1 >= 0, last_obs_lm[jnp.clip(kp_lm1, 0, N - 1)], -1)
+
+    local = tops.select_local_map(m.kf_obs_lm, m.kf_valid, kp_lm_global,
+                                  L, max_kf=max_kf, max_lm=max_lm)
+    idl = jnp.clip(jnp.where(local.lm_mask, local.lm_ids, 0), 0, L - 1)
+    okl = local.lm_mask & m.lm_valid[idl]
+    out2 = tops.track_against_landmarks(
+        cam, bounds, R1, t1, m.lm_pos[idl], m.lm_desc[idl],
+        m.lm_normal[idl], m.lm_dist_min[idl], m.lm_dist_max[idl], okl, fd,
+        local_radius, scale_factor, stereo=stereo, n_levels=n_levels,
+        use_view_gate=True)
+    obs_global = jnp.where(
+        out2.kp_lm >= 0,
+        local.lm_ids[jnp.clip(out2.kp_lm, 0, local.lm_ids.shape[0] - 1)],
+        -1)
+
+    vis, fnd = tops.bump_landmark_stats(
+        m.lm_visible, m.lm_found, local.lm_ids, local.lm_mask,
+        out2.visible, out2.found)
+
+    close = (fd.depth > 0) & (fd.depth < depth_th)
+    close_bound = jnp.sum(close & (obs_global >= 0)).astype(jnp.float32)
+    close_unbound = jnp.sum(
+        close & fd.static_mask & (obs_global < 0)).astype(jnp.float32)
+
+    packed = jnp.concatenate([
+        jnp.stack([n_mm.astype(jnp.float32),
+                   out2.n_inliers.astype(jnp.float32),
+                   close_bound, close_unbound]),
+        out2.R.reshape(-1), out2.t])
+    return FusedOut(fd, obs_global, out2.R, out2.t, vis, fnd, packed)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("orb_cfg", "height", "width", "sensor",
+                     "max_kf", "max_lm", "n_levels", "n_slots"))
+def fused_track_step(
+        m: MapState, cam: Intrinsics, bounds, image, aux,
+        boxes, box_active,
+        last_obs_lm, R_pred, t_pred, R_last, t_last,
+        orb_cfg: ORBConfig, height: int, width: int,
+        mm_radius, local_radius, depth_th, scale_factor,
+        min_inliers_track,
+        sensor: str = "rgbd", max_kf: int = 16, max_lm: int = 4096,
+        n_levels: int = 8, n_slots: int = 0) -> FusedOut:
+    """aux = depth map (rgbd), right image (stereo), or ignored (mono)."""
+    fd = build_frame_data(cam, image, aux, boxes, box_active, orb_cfg,
+                          height, width, scale_factor, sensor,
+                          n_slots=n_slots)
+    stereo = sensor in ("rgbd", "stereo")
+    return _track_stages(m, cam, bounds, fd, last_obs_lm, R_pred, t_pred,
+                         R_last, t_last, mm_radius, local_radius, depth_th,
+                         scale_factor, min_inliers_track, stereo, max_kf,
+                         max_lm, n_levels)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stereo", "max_kf", "max_lm", "n_levels"))
+def fused_track_prebuilt(
+        m: MapState, cam: Intrinsics, bounds, fd: FrameData,
+        last_obs_lm, R_pred, t_pred, R_last, t_last,
+        mm_radius, local_radius, depth_th, scale_factor, min_inliers_track,
+        stereo: bool = True, max_kf: int = 16, max_lm: int = 4096,
+        n_levels: int = 8) -> FusedOut:
+    """Variant taking an already-built FrameData (dynamics path)."""
+    return _track_stages(m, cam, bounds, fd, last_obs_lm, R_pred, t_pred,
+                         R_last, t_last, mm_radius, local_radius, depth_th,
+                         scale_factor, min_inliers_track, stereo, max_kf,
+                         max_lm, n_levels)

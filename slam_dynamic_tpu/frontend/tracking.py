@@ -66,8 +66,58 @@ class Tracker:
         self.relocalizer: Optional[Callable] = None
         # perf knobs
         self._sf = float(cfg.orb.scale_factor)
+        self._kf_pose_cache = {}
 
     # ------------------------------------------------------------------
+    def step_images(self, gray: np.ndarray, aux, boxes, box_active,
+                    frame_id: int, timestamp: float) -> TrackStats:
+        """Fast path: raw images in, fused device step (frame build
+        included), one packed readback. Only valid while tracking is OK;
+        other states fall back to `process` with a host-built frame."""
+        if self.state != "OK":
+            from .frame import build_frame
+            fr = build_frame(self.cfg, self.cam, gray, frame_id, timestamp,
+                             right=aux if self.cfg.sensor == "stereo" else None,
+                             depth_map=aux if self.cfg.sensor == "rgbd" else None,
+                             boxes=boxes, box_valid=box_active)
+            return self.process(fr)
+        from .fused import fused_track_step
+        cfg = self.cfg
+        B = cfg.dynamic.max_boxes
+        bx = np.full((B, 4), -1.0, np.float32)
+        ba = np.zeros(B, bool)
+        if boxes is not None and len(boxes):
+            nb = min(len(boxes), B)
+            bx[:nb] = boxes[:nb]
+            ba[:nb] = box_active[:nb] if box_active is not None else True
+        R_pred, t_pred = self._predict_pose()
+        last_ids = self.last_frame.obs_lm
+        if last_ids is None:
+            last_ids = jnp.full(cfg.capacity.max_keypoints, -1, jnp.int32)
+        aux_arr = jnp.asarray(aux, jnp.float32) if aux is not None else \
+            jnp.zeros_like(jnp.asarray(gray, jnp.float32))
+        out = fused_track_step(
+            self.map, self.cam, self.bounds, jnp.asarray(gray, jnp.float32),
+            aux_arr, jnp.asarray(bx), jnp.asarray(ba), last_ids,
+            R_pred, t_pred, jnp.asarray(self.last_frame.R),
+            jnp.asarray(self.last_frame.t),
+            orb_cfg=cfg.orb, height=gray.shape[0], width=gray.shape[1],
+            mm_radius=jnp.float32(cfg.tracking.motion_model_radius),
+            local_radius=jnp.float32(cfg.tracking.local_map_radius),
+            depth_th=jnp.float32(cfg.camera.th_depth *
+                                 float(self.cam.baseline)),
+            scale_factor=jnp.float32(self._sf),
+            min_inliers_track=jnp.int32(cfg.tracking.min_inliers_track),
+            sensor=cfg.sensor, max_kf=cfg.capacity.local_ba_keyframes,
+            max_lm=cfg.capacity.local_ba_landmarks,
+            n_levels=cfg.orb.n_levels,
+            n_slots=cfg.capacity.max_keypoints)
+        frame = Frame(data=out.fd, frame_id=frame_id, timestamp=timestamp,
+                      boxes=boxes)
+        st = self._post_track(frame, out)
+        self._bookkeep(frame)
+        return st
+
     def process(self, frame: Frame) -> TrackStats:
         if self.state == "NOT_INITIALIZED":
             st = self._initialize(frame)
@@ -76,13 +126,19 @@ class Tracker:
         else:  # LOST -> Relocalization (ref Tracking.cc:2212)
             st = self._relocalize_then_track(frame)
 
-        # velocity + trajectory bookkeeping
+        self._bookkeep(frame)
+        return st
+
+    def _bookkeep(self, frame: Frame):
+        # velocity + trajectory bookkeeping (all host numpy — the pose
+        # arrives in the packed readback, no extra device fetch)
         if frame.R is not None:
-            R = np.asarray(frame.R)
-            t = np.asarray(frame.t)
-            if self.last_frame is not None and self.last_frame.R is not None:
-                Rl = np.asarray(self.last_frame.R)
-                tl = np.asarray(self.last_frame.t)
+            R = frame.np_R if frame.np_R is not None else np.asarray(frame.R)
+            t = frame.np_t if frame.np_t is not None else np.asarray(frame.t)
+            last = self.last_frame
+            if last is not None and last.R is not None:
+                Rl = last.np_R if last.np_R is not None else np.asarray(last.R)
+                tl = last.np_t if last.np_t is not None else np.asarray(last.t)
                 # velocity = T_cur * T_last^-1
                 Rv = R @ Rl.T
                 tv = t - Rv @ tl
@@ -92,13 +148,22 @@ class Tracker:
             # exported trajectory (ref System::SaveTrajectoryTUM uses
             # mlRelativeFramePoses the same way, System.cc:447-480)
             k = max(self.last_kf_id, 0)
-            Rk = np.asarray(self.map.kf_R[k])
-            tk = np.asarray(self.map.kf_t[k])
+            Rk, tk = self._kf_pose_np(k)
             R_rel = R @ Rk.T
             t_rel = t - R_rel @ tk
             self.trajectory.append((frame.timestamp, k, R_rel, t_rel))
+            frame.np_R, frame.np_t = R, t
         self.last_frame = frame
-        return st
+
+    def _kf_pose_np(self, k: int):
+        """Cached numpy pose of keyframe k (avoids a ~30ms tunnel fetch per
+        frame; invalidated whenever the map poses change)."""
+        cached = self._kf_pose_cache.get(k)
+        if cached is None:
+            cached = (np.asarray(self.map.kf_R[k]),
+                      np.asarray(self.map.kf_t[k]))
+            self._kf_pose_cache[k] = cached
+        return cached
 
     def trajectory_poses(self) -> List[Tuple[float, np.ndarray, np.ndarray]]:
         """Absolute (Tcw) per-frame trajectory composed against the CURRENT
@@ -242,104 +307,73 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _track(self, frame: Frame, lost: bool = False) -> TrackStats:
+        """Per-frame hot path: ONE fused device call + ONE packed readback
+        (see frontend/fused.py for the motivation)."""
+        from .fused import fused_track_prebuilt
         cfg = self.cfg
         R_pred, t_pred = self._predict_pose()
-
-        # --- stage 1: motion model vs last-frame landmarks (ref :1728) ---
         last_ids = self.last_frame.obs_lm
         if last_ids is None:
             last_ids = jnp.full(frame.data.xy.shape[0], -1, jnp.int32)
-        pos, desc, normal, dmin, dmax, ok = _gather_lm(
-            self.map, last_ids, last_ids >= 0)
-        out = tops.track_against_landmarks(
-            self.cam, self.bounds, R_pred, t_pred, pos, desc, normal, dmin,
-            dmax, ok, frame.data,
-            jnp.float32(cfg.tracking.motion_model_radius), self._sf,
-            ratio=cfg.matcher.nn_ratio_tracking, stereo=self.stereo_obs,
-            n_levels=cfg.orb.n_levels, use_view_gate=False)
-        n_mm = int(out.n_inliers)
-        if n_mm < cfg.tracking.min_inliers_track:
-            # widened re-search (ref :1749: 2x radius), from last pose
-            out = tops.track_against_landmarks(
-                self.cam, self.bounds, jnp.asarray(self.last_frame.R),
-                jnp.asarray(self.last_frame.t), pos, desc, normal, dmin,
-                dmax, ok, frame.data,
-                jnp.float32(2.0 * cfg.tracking.motion_model_radius),
-                self._sf, ratio=cfg.matcher.nn_ratio_tracking,
-                stereo=self.stereo_obs, n_levels=cfg.orb.n_levels,
-                use_view_gate=False)
-            n_mm = int(out.n_inliers)
-        if n_mm < cfg.tracking.min_inliers_track:
-            self.state = "LOST"
-            frame.R, frame.t = jnp.asarray(R_pred), jnp.asarray(t_pred)
-            frame.obs_lm = jnp.full(frame.data.xy.shape[0], -1, jnp.int32)
-            return TrackStats("LOST", n_inliers_mm=n_mm)
-
-        # map matched kp -> global landmark ids
-        kp_lm_global = jnp.where(
-            out.kp_lm >= 0,
-            last_ids[jnp.clip(out.kp_lm, 0, last_ids.shape[0] - 1)], -1)
-
-        # --- stage 2: local map (ref TrackLocalMap :1791) ---
-        local = tops.select_local_map(
-            self.map.kf_obs_lm, self.map.kf_valid, kp_lm_global,
-            self.map.lm_pos.shape[0],
+        out = fused_track_prebuilt(
+            self.map, self.cam, self.bounds, frame.data, last_ids,
+            R_pred, t_pred, jnp.asarray(self.last_frame.R),
+            jnp.asarray(self.last_frame.t),
+            jnp.float32(cfg.tracking.motion_model_radius),
+            jnp.float32(cfg.tracking.local_map_radius),
+            jnp.float32(cfg.camera.th_depth * float(self.cam.baseline)),
+            jnp.float32(self._sf),
+            jnp.int32(cfg.tracking.min_inliers_track),
+            stereo=self.stereo_obs,
             max_kf=cfg.capacity.local_ba_keyframes,
-            max_lm=cfg.capacity.local_ba_landmarks)
-        pos, desc, normal, dmin, dmax, okl = _gather_lm(
-            self.map, local.lm_ids, local.lm_mask)
-        out2 = tops.track_against_landmarks(
-            self.cam, self.bounds, out.R, out.t, pos, desc, normal, dmin,
-            dmax, okl, frame.data,
-            jnp.float32(cfg.tracking.local_map_radius), self._sf,
-            ratio=cfg.matcher.nn_ratio_tracking, stereo=self.stereo_obs,
-            n_levels=cfg.orb.n_levels, use_view_gate=True)
-        n_map = int(out2.n_inliers)
+            max_lm=cfg.capacity.local_ba_landmarks,
+            n_levels=cfg.orb.n_levels)
+        return self._post_track(frame, out)
 
-        # landmark stats
-        vis, fnd = tops.bump_landmark_stats(
-            self.map.lm_visible, self.map.lm_found, local.lm_ids,
-            local.lm_mask, out2.visible, out2.found)
-        self.map = self.map._replace(lm_visible=vis, lm_found=fnd)
+    def _post_track(self, frame: Frame, out) -> TrackStats:
+        cfg = self.cfg
+        packed = np.asarray(out.packed)       # the single readback
+        n_mm = int(packed[0])
+        n_map = int(packed[1])
+        close_bound = int(packed[2])
+        close_unbound = int(packed[3])
+        np_R = packed[4:13].reshape(3, 3)
+        np_t = packed[13:16]
 
-        if n_map < cfg.tracking.min_inliers_localmap:
+        self.map = self.map._replace(lm_visible=out.lm_visible,
+                                     lm_found=out.lm_found)
+        if n_mm < cfg.tracking.min_inliers_track or \
+                n_map < cfg.tracking.min_inliers_localmap:
             self.state = "LOST"
             frame.R, frame.t = out.R, out.t
-            frame.obs_lm = kp_lm_global
+            frame.np_R, frame.np_t = np_R, np_t
+            frame.obs_lm = out.obs_lm
             return TrackStats("LOST", n_inliers_mm=n_mm, n_inliers_map=n_map)
 
-        frame.R, frame.t = out2.R, out2.t
-        frame.obs_lm = jnp.where(
-            out2.kp_lm >= 0,
-            local.lm_ids[jnp.clip(out2.kp_lm, 0, local.lm_ids.shape[0] - 1)],
-            -1)
+        frame.R, frame.t = out.R, out.t
+        frame.np_R, frame.np_t = np_R, np_t
+        frame.obs_lm = out.obs_lm
         self.state = "OK"
         self.frames_since_kf += 1
 
         st = TrackStats("OK", n_inliers_mm=n_mm, n_inliers_map=n_map)
-        if self._need_keyframe(frame, n_map):
+        if self._need_keyframe_counts(n_map, close_bound, close_unbound):
             self._create_keyframe(frame, n_map)
             st.is_keyframe = True
         return st
 
     # ------------------------------------------------------------------
-    def _need_keyframe(self, frame: Frame, n_map: int) -> bool:
+    def _need_keyframe_counts(self, n_map: int, close_bound: int,
+                              close_unbound: int) -> bool:
         """NeedNewKeyFrame (ref :1838-1921), depth-sensor simplification:
         insert when tracking weakens vs the reference KF or many close
-        points are unbound."""
+        points are unbound (counts arrive in the fused packet)."""
         cfg = self.cfg
         if self.frames_since_kf < cfg.tracking.min_frames_between_kf + 1:
             return False
         if self.frames_since_kf >= cfg.tracking.max_frames_between_kf:
             return True
         weak = n_map < 0.75 * max(self.last_kf_inliers, 1)
-        close_unbound = int(jnp.sum(
-            (frame.data.depth > 0) & frame.data.static_mask
-            & (frame.obs_lm < 0)
-            & (frame.data.depth < cfg.camera.th_depth * float(self.cam.baseline))))
-        close_bound = int(jnp.sum(
-            (frame.data.depth > 0) & (frame.obs_lm >= 0)
-            & (frame.data.depth < cfg.camera.th_depth * float(self.cam.baseline))))
         need_close = close_bound < 100 and close_unbound > 70
         return bool(weak or need_close)
 
@@ -370,3 +404,4 @@ class Tracker:
                 max_lm=self.cfg.capacity.local_ba_landmarks)
         if self.on_keyframe:
             self.on_keyframe(k)
+        self._kf_pose_cache.clear()   # map poses may have moved (BA/loop)

@@ -84,7 +84,15 @@ class TumRGBD:
         return len(self.items)
 
     def __iter__(self) -> Iterator[FramePacket]:
-        from .. import models
+        from .native_loader import PrefetchingLoader, native_available
+        rgb_paths = [os.path.join(self.root, r) for _, r, _ in self.items]
+        dep_paths = [os.path.join(self.root, d) for _, _, d in self.items]
+        if native_available():
+            rgb_it = iter(PrefetchingLoader(rgb_paths))
+            dep_it = iter(PrefetchingLoader(dep_paths))
+        else:
+            rgb_it = (_read_gray(p) for p in rgb_paths)
+            dep_it = (_read_depth_tum(p, 1.0) * 1.0 for p in dep_paths)
         for i, (ts, rgb_rel, dep_rel) in enumerate(self.items):
             det = None
             if self.boxes_dir:
@@ -95,11 +103,9 @@ class TumRGBD:
                 mp = os.path.join(self.masks_dir, f"mask_{i:06d}.png")
                 if os.path.exists(mp):
                     mask = _read_gray(mp) > 127
-            yield FramePacket(
-                i, ts, _read_gray(os.path.join(self.root, rgb_rel)),
-                depth=_read_depth_tum(os.path.join(self.root, dep_rel),
-                                      self.depth_factor),
-                detections=det, mask=mask)
+            depth = np.asarray(next(dep_it), np.float32) / self.depth_factor
+            yield FramePacket(i, ts, np.asarray(next(rgb_it), np.float32),
+                              depth=depth, detections=det, mask=mask)
 
     def groundtruth(self):
         from .trajectory import load_tum

@@ -104,6 +104,12 @@ class System:
         """RGB-D entry (ref System::TrackRGBD :222-273 + box overload)."""
         self._advance_boxes(detections)
         boxes, bvalid = self._active_boxes()
+        if self.dynamics is None and mask is None:
+            # fused fast path (one device call per frame)
+            st = self.tracker.step_images(gray, depth, boxes, bvalid,
+                                          self.frame_id, timestamp)
+            self.frame_id += 1
+            return st
         frame = build_frame(self.cfg, self.cam, gray, self.frame_id,
                             timestamp, depth_map=depth, boxes=boxes,
                             box_valid=bvalid, mask=mask)
@@ -117,6 +123,11 @@ class System:
         """Stereo entry (ref System::TrackStereo :119-220 + box overload)."""
         self._advance_boxes(detections)
         boxes, bvalid = self._active_boxes()
+        if self.dynamics is None:
+            st = self.tracker.step_images(left, right, boxes, bvalid,
+                                          self.frame_id, timestamp)
+            self.frame_id += 1
+            return st
         frame = build_frame(self.cfg, self.cam, left, self.frame_id,
                             timestamp, right=right, boxes=boxes,
                             box_valid=bvalid)
@@ -124,6 +135,11 @@ class System:
         return self._track_common(frame)
 
     def track_mono(self, gray: np.ndarray, timestamp: float) -> TrackStats:
+        if self.dynamics is None:
+            st = self.tracker.step_images(gray, None, None, None,
+                                          self.frame_id, timestamp)
+            self.frame_id += 1
+            return st
         frame = build_frame(self.cfg, self.cam, gray, self.frame_id,
                             timestamp)
         return self._track_common(frame)
