@@ -32,9 +32,17 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
+    import jax
     if args.cpu or args.quick:
-        import jax
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: repeat runs (e.g. the driver's bench
+    # invocation) skip the multi-minute first-compile of the fused graphs
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from slam_dynamic_tpu.config import (SystemConfig, CameraConfig,
                                          ORBConfig, DetectorConfig,
