@@ -79,11 +79,22 @@ def main():
         sys_.track_rgbd(seq.gray[i], seq.depth[i], float(seq.timestamps[i]))
 
     t0 = time.time()
+    frame_times = []
+    kf_frames = 0
     for i in range(n_warm, scfg.n_frames):
-        sys_.track_rgbd(seq.gray[i], seq.depth[i], float(seq.timestamps[i]))
+        f0 = time.time()
+        st = sys_.track_rgbd(seq.gray[i], seq.depth[i],
+                             float(seq.timestamps[i]))
+        frame_times.append(time.time() - f0)
+        kf_frames += bool(st.is_keyframe)
     dt = time.time() - t0
     n_timed = scfg.n_frames - n_warm
     fps = n_timed / dt
+    ft = np.sort(np.asarray(frame_times)) * 1e3
+    import sys as _sys
+    print(f"[bench] frame ms: p50 {np.median(ft):.1f} p90 "
+          f"{ft[int(len(ft)*0.9)]:.1f} max {ft[-1]:.1f}; "
+          f"kf frames {kf_frames}/{n_timed}", file=_sys.stderr)
 
     traj = sys_.trajectory
     est = np.stack([-R.T @ t for _, R, t in traj])

@@ -236,4 +236,12 @@ class LoopCloser:
         t_se3 = t_new / jnp.maximum(s_new[:, None], 1e-9)
         kf_R = jnp.where(m.kf_valid[:, None, None], R_new, m.kf_R)
         kf_t = jnp.where(m.kf_valid[:, None], t_se3, m.kf_t)
-        return m._replace(kf_R=kf_R, kf_t=kf_t, lm_pos=lm_pos)
+        m = m._replace(kf_R=kf_R, kf_t=kf_t, lm_pos=lm_pos)
+        if self.cfg.loop.run_global_ba:
+            # full-map BA after the essential-graph correction (the
+            # reference's async GBA thread, run synchronously here)
+            from .global_ba import global_bundle_adjust
+            m = global_bundle_adjust(
+                m, self.cam, stereo=self.cfg.sensor in ("stereo", "rgbd"),
+                iters=self.cfg.optimizer.global_ba_iters)
+        return m

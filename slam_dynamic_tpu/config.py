@@ -135,6 +135,8 @@ class LoopConfig:
     sim3_total_matches: int = 40
     fix_scale: bool = True                 # stereo/RGB-D: s=1
     kf_gap: int = 10                       # ignore loops to recent KFs (ref :115)
+    run_global_ba: bool = False            # post-loop full BA (ref spawns a
+    # GBA thread, LoopClosing.cc:646); off by default to keep tests fast
 
 
 @dataclass(frozen=True)

@@ -389,7 +389,9 @@ class Tracker:
         self.last_kf_id = k
         self.frames_since_kf = 0
         self.last_kf_inliers = n_map
-        # mapping stage (synchronous pipeline)
+        # mapping stage (synchronous pipeline, ref LocalMapping::Run order:
+        # cull landmarks -> create points -> fuse neighbors -> local BA ->
+        # cull keyframes)
         if not self.stereo_obs:
             # mono: new landmarks come from triangulation, not depth
             from ..backend.triangulation import create_new_landmarks
@@ -397,11 +399,26 @@ class Tracker:
                                             n_levels=self.cfg.orb.n_levels)
         self.map = cull_landmarks(self.map, jnp.int32(k))
         if k >= 2:
+            # fuse duplicate landmarks from the local map into the new KF
+            # (SearchInNeighbors/Fuse)
+            from ..backend.fusion import fuse_into_keyframe, cull_keyframes
+            local = tops.select_local_map(
+                self.map.kf_obs_lm, self.map.kf_valid, self.map.kf_obs_lm[k],
+                self.map.lm_pos.shape[0],
+                max_kf=self.cfg.capacity.local_ba_keyframes,
+                max_lm=self.cfg.capacity.local_ba_landmarks)
+            self.map = fuse_into_keyframe(
+                self.map, self.cam, jnp.int32(k), local.lm_ids,
+                local.lm_mask, jnp.float32(self._sf),
+                max_lm=self.cfg.capacity.local_ba_landmarks)
             self.map = local_ba(
                 self.map, self.cam, jnp.int32(k), jnp.float32(self._sf),
                 stereo=self.stereo_obs,
                 max_kf=min(self.cfg.capacity.local_ba_keyframes, 16),
                 max_lm=self.cfg.capacity.local_ba_landmarks)
+            self.map = cull_keyframes(
+                self.map, jnp.int32(k),
+                redundancy=self.cfg.mapping.kf_redundancy_ratio)
         if self.on_keyframe:
             self.on_keyframe(k)
         self._kf_pose_cache.clear()   # map poses may have moved (BA/loop)

@@ -69,3 +69,64 @@ def test_sharded_matches_single_device(rng):
     # both converge to the same optimum
     np.testing.assert_allclose(np.asarray(kf_t), np.asarray(res1.kf_t),
                                atol=5e-3)
+
+
+def test_global_ba_from_mapstate(rng):
+    """global_bundle_adjust reduces reprojection error of a perturbed map."""
+    import jax.numpy as jnp
+    from slam_dynamic_tpu.config import CapacityConfig
+    from slam_dynamic_tpu.worldmap.state import empty_map, insert_keyframe, \
+        add_landmarks
+    from slam_dynamic_tpu.backend.global_ba import global_bundle_adjust
+    from slam_dynamic_tpu.utils.camera import project_stereo
+    from slam_dynamic_tpu.utils import se3 as se3m
+
+    cap = CapacityConfig(max_keyframes=8, max_landmarks=64, max_keypoints=64)
+    m = empty_map(cap)
+    L = 48
+    pts = np.stack([rng.uniform(-2, 2, L), rng.uniform(-1.5, 1.5, L),
+                    rng.uniform(4, 9, L)], 1).astype(np.float32)
+    # 3 KFs observing all 48 landmarks
+    for k in range(3):
+        xi = np.array([0.3 * k, 0, 0, 0, 0.01 * k, 0], np.float32)
+        R, t = se3m.se3_exp(jnp.asarray(xi))
+        xc = pts @ np.asarray(R).T + np.asarray(t)
+        uvr = np.array(project_stereo(CAM, jnp.asarray(xc)))
+        xy = np.zeros((64, 2), np.float32)
+        xy[:L] = uvr[:, :2]
+        ur = np.full(64, -1.0, np.float32)
+        ur[:L] = uvr[:, 2]
+        dep = np.full(64, -1.0, np.float32)
+        dep[:L] = xc[:, 2]
+        obs = np.full(64, -1, np.int32)
+        obs[:L] = np.arange(L)
+        if k == 0:
+            # create landmarks bound to KF0 (positions perturbed)
+            m = insert_keyframe(m, R, t, k, 0.1 * k, jnp.asarray(xy),
+                                jnp.zeros(64, jnp.int32), jnp.zeros(64),
+                                jnp.zeros((64, 8), jnp.uint32),
+                                jnp.asarray(np.arange(64) < L),
+                                jnp.asarray(ur), jnp.asarray(dep),
+                                jnp.full(64, -1, jnp.int32))
+            m = add_landmarks(
+                m, jnp.asarray(pts + rng.normal(0, 0.1, pts.shape
+                                                ).astype(np.float32)),
+                jnp.zeros((64, 8), jnp.uint32)[:L],
+                jnp.tile(jnp.asarray([0., 0, 1]), (L, 1)),
+                jnp.full(L, 0.5), jnp.full(L, 50.0),
+                jnp.zeros(L, jnp.int32), jnp.arange(L, dtype=jnp.int32),
+                jnp.ones(L, bool))
+        else:
+            # perturb later poses
+            dxi = np.concatenate([rng.normal(0, 0.05, 3),
+                                  rng.normal(0, 0.01, 3)]).astype(np.float32)
+            R2, t2 = se3m.se3_retract(R, t, jnp.asarray(dxi))
+            m = insert_keyframe(m, R2, t2, k, 0.1 * k, jnp.asarray(xy),
+                                jnp.zeros(64, jnp.int32), jnp.zeros(64),
+                                jnp.zeros((64, 8), jnp.uint32),
+                                jnp.asarray(np.arange(64) < L),
+                                jnp.asarray(ur), jnp.asarray(dep),
+                                jnp.asarray(obs))
+    m2 = global_bundle_adjust(m, CAM, stereo=True, iters=12, n_devices=4)
+    p_err = np.linalg.norm(np.asarray(m2.lm_pos)[:L] - pts, axis=1)
+    assert np.median(p_err) < 0.02, np.median(p_err)
