@@ -67,6 +67,9 @@ class Tracker:
         # perf knobs
         self._sf = float(cfg.orb.scale_factor)
         self._kf_pose_cache = {}
+        # localization-only mode: track against the existing map, create no
+        # keyframes (ref System::ActivateLocalizationMode, System.h:87-89)
+        self.localization_only = False
 
     # ------------------------------------------------------------------
     def step_images(self, gray: np.ndarray, aux, boxes, box_active,
@@ -292,9 +295,26 @@ class Tracker:
                 self.last_frame = frame
                 self.state = "OK"
                 return self._track(frame)
+        # hard reset when lost right after initialization (ref
+        # Tracking.cc:918-927: <=5 KFs -> System::Reset)
+        if int(self.map.n_kf) <= 5 and not self.localization_only:
+            self.reset()
+            return TrackStats("NOT_INITIALIZED")
         frame.R, frame.t = None, None
         frame.obs_lm = jnp.full(frame.data.xy.shape[0], -1, jnp.int32)
         return TrackStats("LOST")
+
+    def reset(self):
+        """Clear map and state (ref Tracking::Reset :2375)."""
+        self.map = empty_map(self.cfg.capacity)
+        self.state = "NOT_INITIALIZED"
+        self.last_frame = None
+        self.velocity = None
+        self.last_kf_id = -1
+        self.frames_since_kf = 0
+        self.last_kf_inliers = 0
+        self._kf_pose_cache = {}
+        self._init_ref = None
 
     # ------------------------------------------------------------------
     def _predict_pose(self):
@@ -357,7 +377,9 @@ class Tracker:
         self.frames_since_kf += 1
 
         st = TrackStats("OK", n_inliers_mm=n_mm, n_inliers_map=n_map)
-        if self._need_keyframe_counts(n_map, close_bound, close_unbound):
+        if not self.localization_only and \
+                self._need_keyframe_counts(n_map, close_bound,
+                                           close_unbound):
             self._create_keyframe(frame, n_map)
             st.is_keyframe = True
         return st

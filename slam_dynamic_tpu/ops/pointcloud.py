@@ -118,3 +118,22 @@ def save_ply(path: str, points, intensity=None, valid=None):
                 f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} {g} {g} {g}\n")
             else:
                 f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+
+
+def save_pcd(path: str, points, intensity=None, valid=None):
+    """ASCII PCD export — byte-format parity with the reference's
+    pcl::io::savePCDFile output (pointcloudmapping.cc:161-166)."""
+    import numpy as np
+    pts = np.asarray(points)
+    if valid is not None:
+        v = np.asarray(valid)
+        pts = pts[v]
+    with open(path, "w") as f:
+        f.write("# .PCD v0.7 - Point Cloud Data file format\n")
+        f.write("VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+                "COUNT 1 1 1\n")
+        f.write(f"WIDTH {len(pts)}\nHEIGHT 1\n")
+        f.write("VIEWPOINT 0 0 0 1 0 0 0\n")
+        f.write(f"POINTS {len(pts)}\nDATA ascii\n")
+        for p in pts:
+            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")

@@ -172,6 +172,13 @@ class System:
                    if bool(m.kf_valid[k])]
         traj_io.save_tum(path, kf_traj)
 
+    def activate_localization_mode(self):
+        """Track-only mode (ref System.h:87)."""
+        self.tracker.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.tracker.localization_only = False
+
     def reset(self):
         self.tracker = Tracker(self.cfg, self.cam,
                                stereo_obs=self.cfg.sensor in ("stereo",
