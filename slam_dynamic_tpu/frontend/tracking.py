@@ -295,9 +295,11 @@ class Tracker:
                 self.last_frame = frame
                 self.state = "OK"
                 return self._track(frame)
-        # hard reset when lost right after initialization (ref
-        # Tracking.cc:918-927: <=5 KFs -> System::Reset)
-        if int(self.map.n_kf) <= 5 and not self.localization_only:
+        # hard reset when lost right after initialization AND relocalization
+        # failed (ref Tracking.cc:918-927 resets at <=5 KFs; we give
+        # relocalization a chance first — strictly more capable)
+        if int(self.map.n_kf) <= 5 and not self.localization_only \
+                and self.relocalizer is None:
             self.reset()
             return TrackStats("NOT_INITIALIZED")
         frame.R, frame.t = None, None
