@@ -47,6 +47,30 @@ def level_budgets(cfg: ORBConfig) -> List[int]:
 
 def _extract_impl(image: jnp.ndarray, cfg: ORBConfig, height: int,
                   width: int) -> Keypoints:
+    """Default extraction path: batched over pyramid levels (ops/
+    orb_batched.py) — ~8x fewer ops than the per-level unrolled pipeline,
+    which matters on dispatch-overhead-dominated backends."""
+    from ..ops import orb_batched as ob
+    meta = ob._level_meta(height, width, cfg.n_levels, cfg.scale_factor,
+                          cfg.edge_threshold, cfg.cell_size, cfg.n_features)
+    shapes, budgets, valid_mask, scales = meta
+    stack = ob.build_level_stack(image, cfg.n_levels, cfg.scale_factor)
+    score = ob.fast_dual_batched(stack, jnp.asarray(valid_mask),
+                                 cfg.ini_th_fast, cfg.min_th_fast,
+                                 cfg.cell_size)
+    kp = ob.select_batched(score, budgets, cfg.cell_size, per_cell=4)
+    ang = ob.ic_angles_batched(stack, kp)
+    blurred = ob.blur_stack(stack)
+    desc = ob.brief_batched(blurred, kp, ang)
+    sc = jnp.asarray(scales)[kp.lvl]
+    xy0 = jnp.stack([kp.x.astype(jnp.float32) * sc,
+                     kp.y.astype(jnp.float32) * sc], axis=-1)
+    return Keypoints(xy0, kp.resp, ang, kp.lvl, desc, kp.valid)
+
+
+def _extract_impl_unrolled(image: jnp.ndarray, cfg: ORBConfig, height: int,
+                           width: int) -> Keypoints:
+    """Reference per-level pipeline (kept for A/B numerics tests)."""
     budgets = level_budgets(cfg)
     scales = pyramid.level_scales(cfg.n_levels, cfg.scale_factor)
     levels = pyramid.build_pyramid(image, cfg.n_levels, cfg.scale_factor)
