@@ -50,6 +50,9 @@ class ORBConfig:
     max_raw_per_level: int = 4096
     cell_size: int = 32       # spatial-binning cell for uniform selection
     edge_threshold: int = 19  # border margin for descriptors (ref :442)
+    batched_levels: bool = False  # True: one [L,H,W] op stack (fewest ops;
+    # best on dispatch-bound backends); False: per-level pipeline (least
+    # intermediate bytes; faster through the axon tunnel)
 
 
 @dataclass(frozen=True)

@@ -47,9 +47,16 @@ def level_budgets(cfg: ORBConfig) -> List[int]:
 
 def _extract_impl(image: jnp.ndarray, cfg: ORBConfig, height: int,
                   width: int) -> Keypoints:
-    """Default extraction path: batched over pyramid levels (ops/
-    orb_batched.py) — ~8x fewer ops than the per-level unrolled pipeline,
-    which matters on dispatch-overhead-dominated backends."""
+    if cfg.batched_levels:
+        return _extract_impl_batched(image, cfg, height, width)
+    return _extract_impl_unrolled(image, cfg, height, width)
+
+
+def _extract_impl_batched(image: jnp.ndarray, cfg: ORBConfig, height: int,
+                          width: int) -> Keypoints:
+    """Batched-over-levels path (ops/orb_batched.py): ~8x fewer ops than
+    the per-level pipeline (best when dispatch dominates); ~3x more pixel
+    work (levels padded to full size)."""
     from ..ops import orb_batched as ob
     meta = ob._level_meta(height, width, cfg.n_levels, cfg.scale_factor,
                           cfg.edge_threshold, cfg.cell_size, cfg.n_features)
