@@ -79,6 +79,19 @@ def build_frame_data(cam: Intrinsics, image, aux, boxes, box_active,
     return fd
 
 
+def _predict_inside(R_last, t_last, R_prev2, t_prev2, has_vel):
+    """Constant-velocity prediction computed ON DEVICE (saves per-frame
+    host->device transfers of the predicted pose): velocity =
+    T_last o T_prev2^-1; pred = velocity o T_last. has_vel in {0.,1.}."""
+    Rv = R_last @ R_prev2.T
+    tv = t_last - Rv @ t_prev2
+    R_pred = Rv @ R_last
+    t_pred = Rv @ t_last + tv
+    R_pred = has_vel * R_pred + (1.0 - has_vel) * R_last
+    t_pred = has_vel * t_pred + (1.0 - has_vel) * t_last
+    return R_pred, t_pred
+
+
 def _track_stages(m: MapState, cam, bounds, fd: FrameData, last_obs_lm,
                   R_pred, t_pred, R_last, t_last, mm_radius, local_radius,
                   depth_th, scale_factor, min_inliers_track, stereo,
@@ -147,17 +160,21 @@ def _track_stages(m: MapState, cam, bounds, fd: FrameData, last_obs_lm,
 def fused_track_step(
         m: MapState, cam: Intrinsics, bounds, image, aux,
         boxes, box_active,
-        last_obs_lm, R_pred, t_pred, R_last, t_last,
+        last_obs_lm, R_last, t_last, R_prev2, t_prev2, has_vel,
         orb_cfg: ORBConfig, height: int, width: int,
         mm_radius, local_radius, depth_th, scale_factor,
         min_inliers_track,
         sensor: str = "rgbd", max_kf: int = 16, max_lm: int = 4096,
         n_levels: int = 8, n_slots: int = 0) -> FusedOut:
-    """aux = depth map (rgbd), right image (stereo), or ignored (mono)."""
+    """aux = depth map (rgbd), right image (stereo), or ignored (mono).
+    Motion-model prediction happens inside (R_prev2/t_prev2 = pose two
+    frames back; has_vel 0/1 scalar)."""
     fd = build_frame_data(cam, image, aux, boxes, box_active, orb_cfg,
                           height, width, scale_factor, sensor,
                           n_slots=n_slots)
     stereo = sensor in ("rgbd", "stereo")
+    R_pred, t_pred = _predict_inside(R_last, t_last, R_prev2, t_prev2,
+                                     has_vel)
     return _track_stages(m, cam, bounds, fd, last_obs_lm, R_pred, t_pred,
                          R_last, t_last, mm_radius, local_radius, depth_th,
                          scale_factor, min_inliers_track, stereo, max_kf,

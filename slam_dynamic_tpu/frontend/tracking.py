@@ -67,6 +67,9 @@ class Tracker:
         # perf knobs
         self._sf = float(cfg.orb.scale_factor)
         self._kf_pose_cache = {}
+        self._dev_consts = None
+        self._prev2_pose = None
+        self._zero_aux_cache = None
         # localization-only mode: track against the existing map, create no
         # keyframes (ref System::ActivateLocalizationMode, System.h:87-89)
         self.localization_only = False
@@ -86,40 +89,73 @@ class Tracker:
             return self.process(fr)
         from .fused import fused_track_step
         cfg = self.cfg
-        B = cfg.dynamic.max_boxes
-        bx = np.full((B, 4), -1.0, np.float32)
-        ba = np.zeros(B, bool)
+        # all per-frame-constant device values are cached ONCE: every fresh
+        # jnp.asarray / jnp.float32 would pay a host->device tunnel trip
+        dc = self._dev_consts
+        if dc is None:
+            B = cfg.dynamic.max_boxes
+            dc = self._dev_consts = {
+                "bx_empty": jnp.full((B, 4), -1.0, jnp.float32),
+                "ba_empty": jnp.zeros(B, bool),
+                "mm_radius": jnp.float32(cfg.tracking.motion_model_radius),
+                "local_radius": jnp.float32(cfg.tracking.local_map_radius),
+                "depth_th": jnp.float32(cfg.camera.th_depth *
+                                        float(self.cam.baseline)),
+                "sf": jnp.float32(self._sf),
+                "min_tr": jnp.int32(cfg.tracking.min_inliers_track),
+                "vel0": jnp.float32(0.0),
+                "vel1": jnp.float32(1.0),
+                "no_obs": jnp.full(cfg.capacity.max_keypoints, -1,
+                                   jnp.int32),
+            }
+            jax.block_until_ready(list(dc.values()))
         if boxes is not None and len(boxes):
+            B = cfg.dynamic.max_boxes
+            bxn = np.full((B, 4), -1.0, np.float32)
+            ban = np.zeros(B, bool)
             nb = min(len(boxes), B)
-            bx[:nb] = boxes[:nb]
-            ba[:nb] = box_active[:nb] if box_active is not None else True
-        R_pred, t_pred = self._predict_pose()
+            bxn[:nb] = boxes[:nb]
+            ban[:nb] = box_active[:nb] if box_active is not None else True
+            bx, ba = jnp.asarray(bxn), jnp.asarray(ban)
+        else:
+            bx, ba = dc["bx_empty"], dc["ba_empty"]
         last_ids = self.last_frame.obs_lm
         if last_ids is None:
-            last_ids = jnp.full(cfg.capacity.max_keypoints, -1, jnp.int32)
+            last_ids = dc["no_obs"]
+        R_last = self.last_frame.R
+        t_last = self.last_frame.t
+        prev2 = self._prev2_pose
+        if prev2 is None:
+            R_prev2, t_prev2, has_vel = R_last, t_last, dc["vel0"]
+        else:
+            R_prev2, t_prev2 = prev2
+            has_vel = dc["vel1"]
         aux_arr = jnp.asarray(aux, jnp.float32) if aux is not None else \
-            jnp.zeros_like(jnp.asarray(gray, jnp.float32))
+            self._zero_aux(gray.shape)
         out = fused_track_step(
             self.map, self.cam, self.bounds, jnp.asarray(gray, jnp.float32),
-            aux_arr, jnp.asarray(bx), jnp.asarray(ba), last_ids,
-            R_pred, t_pred, jnp.asarray(self.last_frame.R),
-            jnp.asarray(self.last_frame.t),
+            aux_arr, bx, ba, last_ids,
+            R_last, t_last, R_prev2, t_prev2, has_vel,
             orb_cfg=cfg.orb, height=gray.shape[0], width=gray.shape[1],
-            mm_radius=jnp.float32(cfg.tracking.motion_model_radius),
-            local_radius=jnp.float32(cfg.tracking.local_map_radius),
-            depth_th=jnp.float32(cfg.camera.th_depth *
-                                 float(self.cam.baseline)),
-            scale_factor=jnp.float32(self._sf),
-            min_inliers_track=jnp.int32(cfg.tracking.min_inliers_track),
+            mm_radius=dc["mm_radius"], local_radius=dc["local_radius"],
+            depth_th=dc["depth_th"], scale_factor=dc["sf"],
+            min_inliers_track=dc["min_tr"],
             sensor=cfg.sensor, max_kf=cfg.capacity.local_ba_keyframes,
             max_lm=cfg.capacity.local_ba_landmarks,
             n_levels=cfg.orb.n_levels,
             n_slots=cfg.capacity.max_keypoints)
+        self._prev2_pose = (R_last, t_last)
         frame = Frame(data=out.fd, frame_id=frame_id, timestamp=timestamp,
                       boxes=boxes)
         st = self._post_track(frame, out)
         self._bookkeep(frame)
         return st
+
+    def _zero_aux(self, shape):
+        z = self._zero_aux_cache
+        if z is None or z.shape != shape:
+            z = self._zero_aux_cache = jnp.zeros(shape, jnp.float32)
+        return z
 
     def process(self, frame: Frame) -> TrackStats:
         if self.state == "NOT_INITIALIZED":
@@ -317,6 +353,7 @@ class Tracker:
         self.last_kf_inliers = 0
         self._kf_pose_cache = {}
         self._init_ref = None
+        self._prev2_pose = None
 
     # ------------------------------------------------------------------
     def _predict_pose(self):
