@@ -91,24 +91,7 @@ class Tracker:
         cfg = self.cfg
         # all per-frame-constant device values are cached ONCE: every fresh
         # jnp.asarray / jnp.float32 would pay a host->device tunnel trip
-        dc = self._dev_consts
-        if dc is None:
-            B = cfg.dynamic.max_boxes
-            dc = self._dev_consts = {
-                "bx_empty": jnp.full((B, 4), -1.0, jnp.float32),
-                "ba_empty": jnp.zeros(B, bool),
-                "mm_radius": jnp.float32(cfg.tracking.motion_model_radius),
-                "local_radius": jnp.float32(cfg.tracking.local_map_radius),
-                "depth_th": jnp.float32(cfg.camera.th_depth *
-                                        float(self.cam.baseline)),
-                "sf": jnp.float32(self._sf),
-                "min_tr": jnp.int32(cfg.tracking.min_inliers_track),
-                "vel0": jnp.float32(0.0),
-                "vel1": jnp.float32(1.0),
-                "no_obs": jnp.full(cfg.capacity.max_keypoints, -1,
-                                   jnp.int32),
-            }
-            jax.block_until_ready(list(dc.values()))
+        dc = self._scalar_consts()
         if boxes is not None and len(boxes):
             B = cfg.dynamic.max_boxes
             bxn = np.full((B, 4), -1.0, np.float32)
@@ -370,24 +353,42 @@ class Tracker:
         (see frontend/fused.py for the motivation)."""
         from .fused import fused_track_prebuilt
         cfg = self.cfg
+        dc = self._scalar_consts()
         R_pred, t_pred = self._predict_pose()
         last_ids = self.last_frame.obs_lm
         if last_ids is None:
             last_ids = jnp.full(frame.data.xy.shape[0], -1, jnp.int32)
         out = fused_track_prebuilt(
             self.map, self.cam, self.bounds, frame.data, last_ids,
-            R_pred, t_pred, jnp.asarray(self.last_frame.R),
-            jnp.asarray(self.last_frame.t),
-            jnp.float32(cfg.tracking.motion_model_radius),
-            jnp.float32(cfg.tracking.local_map_radius),
-            jnp.float32(cfg.camera.th_depth * float(self.cam.baseline)),
-            jnp.float32(self._sf),
-            jnp.int32(cfg.tracking.min_inliers_track),
+            jnp.asarray(R_pred), jnp.asarray(t_pred),
+            jnp.asarray(self.last_frame.R), jnp.asarray(self.last_frame.t),
+            dc["mm_radius"], dc["local_radius"], dc["depth_th"], dc["sf"],
+            dc["min_tr"],
             stereo=self.stereo_obs,
             max_kf=cfg.capacity.local_ba_keyframes,
             max_lm=cfg.capacity.local_ba_landmarks,
             n_levels=cfg.orb.n_levels)
         return self._post_track(frame, out)
+
+    def _scalar_consts(self):
+        if self._dev_consts is None:
+            cfg = self.cfg
+            B = cfg.dynamic.max_boxes
+            self._dev_consts = {
+                "bx_empty": jnp.full((B, 4), -1.0, jnp.float32),
+                "ba_empty": jnp.zeros(B, bool),
+                "mm_radius": jnp.float32(cfg.tracking.motion_model_radius),
+                "local_radius": jnp.float32(cfg.tracking.local_map_radius),
+                "depth_th": jnp.float32(cfg.camera.th_depth *
+                                        float(self.cam.baseline)),
+                "sf": jnp.float32(self._sf),
+                "min_tr": jnp.int32(cfg.tracking.min_inliers_track),
+                "vel0": jnp.float32(0.0),
+                "vel1": jnp.float32(1.0),
+                "no_obs": jnp.full(cfg.capacity.max_keypoints, -1,
+                                   jnp.int32),
+            }
+        return self._dev_consts
 
     def _post_track(self, frame: Frame, out) -> TrackStats:
         cfg = self.cfg

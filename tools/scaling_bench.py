@@ -65,7 +65,7 @@ def main():
     obs_kf = rng.integers(0, K, O).astype(np.int32)
     obs_lm = np.repeat(np.arange(L, dtype=np.int32), args.obs_per_lm)
     xc = np.einsum("oij,oj->oi", kf_R[obs_kf], pts[obs_lm]) + kf_t[obs_kf]
-    uvr = np.asarray(project_stereo(cam, jnp.asarray(xc)))
+    uvr = np.array(project_stereo(cam, jnp.asarray(xc)))
     uvr += rng.normal(0, 0.5, uvr.shape).astype(np.float32)
     good = xc[:, 2] > 0.5
 
