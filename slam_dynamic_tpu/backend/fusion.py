@@ -42,7 +42,10 @@ def fuse_into_keyframe(m: MapState, cam: Intrinsics, k, lm_ids, lm_mask,
 
     # search radius follows the KEYPOINT's octave (ref Fuse :1040)
     radius = radius_px * scale_factor ** m.kf_kp_level[k].astype(jnp.float32)
-    d2 = jnp.sum((uv[:, None, :] - m.kf_kp_xy[k][None, :, :]) ** 2, -1)
+    kp_xy = m.kf_kp_xy[k]
+    na = jnp.sum(uv * uv, -1)
+    nb = jnp.sum(kp_xy * kp_xy, -1)
+    d2 = na[:, None] + nb[None, :] - 2.0 * (uv @ kp_xy.T)
     pair = d2 <= (radius[None, :] ** 2)
     dist = hm.masked_hamming_matrix(desc, ok, m.kf_kp_desc[k],
                                     m.kf_kp_valid[k], pair_mask=pair)

@@ -74,7 +74,7 @@ def triangulate_between(cam: Intrinsics, scale_factor,
     x1h = jnp.concatenate([kp1_xy, ones], axis=1)
     x2h = jnp.concatenate([kp2_xy, jnp.ones((kp2_xy.shape[0], 1))], axis=1)
     lines2 = x1h @ F12            # [N1, 3] epiline of kp1 in image 2
-    num = (lines2[:, None, :] * x2h[None, :, :]).sum(-1) ** 2
+    num = (lines2 @ x2h.T) ** 2   # [N1, N2] via matmul (no 3D broadcast)
     den = jnp.maximum(lines2[:, 0] ** 2 + lines2[:, 1] ** 2, 1e-12)
     sigma2_2 = (scale_factor ** (2.0 * kp2_level.astype(jnp.float32)))
     epi_ok = num / den[:, None] < epipolar_th * sigma2_2[None, :]

@@ -37,6 +37,46 @@ class DynamicsModule:
         self.cam = cam
         maxq = max(2, int(cfg.tracking.frame_queue_factor * cfg.camera.fps))
         self.queue: Deque = collections.deque(maxlen=maxq)
+        self.fd_queue: Deque = collections.deque(maxlen=maxq)  # (ts, fd)
+        self._dummy_fd = None
+        self._have0 = None
+        self._have1 = None
+
+    # ------------------ fused-path API (one device call per frame) -------
+    def pick_ref_fd(self, ts: float, n_slots: int):
+        """Device FrameData of the reference frame (>= ref_frame_age_s
+        old) or an all-invalid placeholder; returns (fd, have_ref 0/1)."""
+        import jax.numpy as jnp
+        from .frame import empty_frame_data
+        if self._dummy_fd is None:
+            self._dummy_fd = empty_frame_data(n_slots)
+            self._have0 = jnp.float32(0.0)
+            self._have1 = jnp.float32(1.0)
+        best = None
+        for t0, fd in self.fd_queue:
+            if ts - t0 >= self.cfg.tracking.ref_frame_age_s:
+                best = fd
+        if best is None:
+            return self._dummy_fd, self._have0
+        return best, self._have1
+
+    def push_fd(self, ts: float, fd):
+        self.fd_queue.append((ts, fd))
+
+    def update_streaks(self, boxes, verdicts):
+        """Host streak bookkeeping from fresh verdicts (2 consecutive
+        dynamic frames confirm — ref Tracking.cc:1213-1226)."""
+        import numpy as np
+        for i in range(len(boxes.boxes)):
+            v = int(verdicts[i]) if i < len(verdicts) else 0
+            if v == 2:
+                boxes.dyn_streak[i] += 1
+                if boxes.dyn_streak[i] >= self.cfg.tracking.dyn_confirm_frames:
+                    boxes.status[i] = 2
+            elif v == 1:
+                boxes.dyn_streak[i] = 0
+                if boxes.status[i] != 2:
+                    boxes.status[i] = 1
 
     def pre_track(self, frame, boxes, tracker):
         """Run the H/F reclassification against the reference frame before

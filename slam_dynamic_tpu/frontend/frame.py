@@ -130,6 +130,17 @@ def build_frame(cfg: SystemConfig, cam: Intrinsics, gray: np.ndarray,
                  boxes=boxes, box_ids=None, box_status=None)
 
 
+def empty_frame_data(n_slots: int) -> FrameData:
+    """All-invalid FrameData (placeholder ref frame for fused dynamics)."""
+    z2 = jnp.zeros((n_slots, 2), jnp.float32)
+    z1 = jnp.zeros(n_slots, jnp.float32)
+    return FrameData(
+        xy=z2, xy_raw=z2, level=jnp.zeros(n_slots, jnp.int32), angle=z1,
+        response=z1, desc=jnp.zeros((n_slots, 8), jnp.uint32),
+        valid=jnp.zeros(n_slots, bool), ur=z1 - 1.0, depth=z1 - 1.0,
+        static_mask=jnp.zeros(n_slots, bool), scale=z1 + 1.0)
+
+
 def pad_frame_data(fd: FrameData, n_slots: int) -> FrameData:
     """Pad keypoint arrays to the map's slot capacity (padding invalid)."""
     n = fd.xy.shape[0]

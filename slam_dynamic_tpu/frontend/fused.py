@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ORBConfig
+from ..ops import hamming as hm
 from ..ops.stereo import depth_from_rgbd, match_stereo
 from ..utils.camera import Intrinsics, undistort_points
 from ..worldmap.state import MapState
@@ -92,6 +93,49 @@ def _predict_inside(R_last, t_last, R_prev2, t_prev2, has_vel):
     return R_pred, t_pred
 
 
+def _mm_track(cam, bounds, R_pred, t_pred, R_last, t_last, lm_pos, lm_desc,
+              lm_mask, fd, mm_radius, scale_factor, min_inliers, stereo):
+    """Motion-model stage with narrow+wide fallback sharing ONE Hamming
+    matrix (the descriptor matmul is identical for both radii — only the
+    radius pair mask differs). Light LM schedule (2x6); the local-map
+    stage polishes with the full 4x10."""
+    from ..utils.camera import project
+    from ..optim.pose_opt import optimize_pose
+
+    dist_raw = hm.hamming_matrix(lm_desc, fd.desc)        # ONE matmul
+    base_mask = (lm_mask[:, None]
+                 & (fd.valid & fd.static_mask)[None, :])
+
+    def match_and_opt(Rp, tp, radius_mult):
+        xc = lm_pos @ Rp.T + tp
+        uv = project(cam, xc)
+        vis = (xc[:, 2] > 0.1) & lm_mask
+        radius = mm_radius * radius_mult * jnp.ones(lm_pos.shape[0])
+        pm = hm.radius_pair_mask(uv, fd.xy, radius)
+        dist = jnp.where(base_mask & pm & vis[:, None], dist_raw, hm.INVALID)
+        kp_lm, best, ok = hm.match_nn(dist.T, max_dist=100, ratio=0.9)
+        xw = lm_pos[jnp.clip(kp_lm, 0, lm_pos.shape[0] - 1)]
+        inv_s2 = 1.0 / (fd.scale ** 2)
+        if stereo:
+            obs = jnp.concatenate([fd.xy, fd.ur[:, None]], axis=-1)
+            ur_w = (fd.ur > 0).astype(jnp.float32)
+            res = optimize_pose(cam, Rp, tp, xw, obs, inv_s2, ok,
+                                stereo=True, ur_weight=ur_w, rounds=2,
+                                iters=6)
+        else:
+            res = optimize_pose(cam, Rp, tp, xw, fd.xy, inv_s2, ok,
+                                stereo=False, rounds=2, iters=6)
+        inlier = res.inliers & ok
+        return res.R, res.t, inlier.sum().astype(jnp.int32), \
+            jnp.where(inlier, kp_lm, -1)
+
+    R1, t1, n1, kp1 = match_and_opt(R_pred, t_pred, 1.0)
+    R2, t2, n2, kp2 = match_and_opt(R_last, t_last, 2.0)
+    wide = n1 < min_inliers
+    return (jnp.where(wide, R2, R1), jnp.where(wide, t2, t1),
+            jnp.where(wide, n2, n1), jnp.where(wide, kp2, kp1))
+
+
 def _track_stages(m: MapState, cam, bounds, fd: FrameData, last_obs_lm,
                   R_pred, t_pred, R_last, t_last, mm_radius, local_radius,
                   depth_th, scale_factor, min_inliers_track, stereo,
@@ -102,23 +146,10 @@ def _track_stages(m: MapState, cam, bounds, fd: FrameData, last_obs_lm,
     ok_lm = (last_obs_lm >= 0) & m.lm_valid[idc]
     lm_pos = m.lm_pos[idc]
     lm_desc = m.lm_desc[idc]
-    lm_norm = m.lm_normal[idc]
-    lm_dmin = m.lm_dist_min[idc]
-    lm_dmax = m.lm_dist_max[idc]
 
-    out1 = tops.track_against_landmarks(
-        cam, bounds, R_pred, t_pred, lm_pos, lm_desc, lm_norm, lm_dmin,
-        lm_dmax, ok_lm, fd, mm_radius, scale_factor, stereo=stereo,
-        n_levels=n_levels, use_view_gate=False)
-    out1w = tops.track_against_landmarks(
-        cam, bounds, R_last, t_last, lm_pos, lm_desc, lm_norm, lm_dmin,
-        lm_dmax, ok_lm, fd, 2.0 * mm_radius, scale_factor, stereo=stereo,
-        n_levels=n_levels, use_view_gate=False)
-    use_wide = out1.n_inliers < min_inliers_track
-    n_mm = jnp.where(use_wide, out1w.n_inliers, out1.n_inliers)
-    R1 = jnp.where(use_wide, out1w.R, out1.R)
-    t1 = jnp.where(use_wide, out1w.t, out1.t)
-    kp_lm1 = jnp.where(use_wide, out1w.kp_lm, out1.kp_lm)
+    R1, t1, n_mm, kp_lm1 = _mm_track(
+        cam, bounds, R_pred, t_pred, R_last, t_last, lm_pos, lm_desc,
+        ok_lm, fd, mm_radius, scale_factor, min_inliers_track, stereo)
     kp_lm_global = jnp.where(
         kp_lm1 >= 0, last_obs_lm[jnp.clip(kp_lm1, 0, N - 1)], -1)
 
@@ -194,3 +225,56 @@ def fused_track_prebuilt(
                          R_last, t_last, mm_radius, local_radius, depth_th,
                          scale_factor, min_inliers_track, stereo, max_kf,
                          max_lm, n_levels)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("orb_cfg", "height", "width", "sensor",
+                     "max_kf", "max_lm", "n_levels", "n_slots", "n_hyp"))
+def fused_track_step_dyn(
+        m: MapState, cam: Intrinsics, bounds, image, aux,
+        boxes, box_active, box_status, ref_fd: FrameData, have_ref,
+        last_obs_lm, R_last, t_last, R_prev2, t_prev2, has_vel,
+        orb_cfg: ORBConfig, height: int, width: int,
+        mm_radius, local_radius, depth_th, scale_factor,
+        min_inliers_track, seed,
+        sensor: str = "rgbd", max_kf: int = 16, max_lm: int = 4096,
+        n_levels: int = 8, n_slots: int = 0, n_hyp: int = 256):
+    """Dynamic-scene variant: frame build + H/F box classification +
+    feature reinstatement + tracking, still ONE device call.
+
+    box_status [B] int32 (0 tentative / 1 static / 2 dynamic) is the HOST's
+    current belief (streak bookkeeping stays on host); fresh verdicts are
+    returned in the packet tail for the host to update streaks.
+    Returns (FusedOut, verdicts [B]).
+    """
+    from .dynamics_ops import classify_boxes
+    fd = build_frame_data(cam, image, aux, boxes,
+                          box_active & (box_status != 1), orb_cfg,
+                          height, width, scale_factor, sensor,
+                          n_slots=n_slots)
+    # geometric reclassification vs the reference frame (when available)
+    v = classify_boxes(cam, ref_fd, fd, boxes, box_active, n_hyp=n_hyp,
+                       seed=seed)
+    verdict = jnp.where(have_ref > 0, v.verdict, jnp.zeros_like(v.verdict))
+    # reinstate features inside boxes that are (or just became) static,
+    # unless already confirmed dynamic by the host streak logic
+    static_now = box_active & (box_status != 2) & \
+        ((box_status == 1) | (verdict == 1))
+    inside = ((fd.xy[None, :, 0] >= boxes[:, None, 0])
+              & (fd.xy[None, :, 0] <= boxes[:, None, 2])
+              & (fd.xy[None, :, 1] >= boxes[:, None, 1])
+              & (fd.xy[None, :, 1] <= boxes[:, None, 3])
+              & static_now[:, None])
+    fd = fd._replace(static_mask=fd.static_mask |
+                     (inside.any(0) & fd.valid))
+
+    stereo = sensor in ("rgbd", "stereo")
+    R_pred, t_pred = _predict_inside(R_last, t_last, R_prev2, t_prev2,
+                                     has_vel)
+    out = _track_stages(m, cam, bounds, fd, last_obs_lm, R_pred, t_pred,
+                        R_last, t_last, mm_radius, local_radius, depth_th,
+                        scale_factor, min_inliers_track, stereo, max_kf,
+                        max_lm, n_levels)
+    packed = jnp.concatenate([out.packed, verdict.astype(jnp.float32)])
+    return out._replace(packed=packed)

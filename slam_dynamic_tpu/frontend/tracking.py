@@ -44,6 +44,7 @@ class TrackStats:
     n_inliers_mm: int = 0
     n_inliers_map: int = 0
     is_keyframe: bool = False
+    verdicts: object = None   # [B] box verdicts (dynamic pipeline)
 
 
 class Tracker:
@@ -76,10 +77,14 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def step_images(self, gray: np.ndarray, aux, boxes, box_active,
-                    frame_id: int, timestamp: float) -> TrackStats:
+                    frame_id: int, timestamp: float,
+                    dyn: dict = None) -> TrackStats:
         """Fast path: raw images in, fused device step (frame build
         included), one packed readback. Only valid while tracking is OK;
-        other states fall back to `process` with a host-built frame."""
+        other states fall back to `process` with a host-built frame.
+        `dyn` (optional): {ref_fd, have_ref, box_status, seed} switches to
+        the dynamic-scene variant (classification fused in; verdicts
+        returned in TrackStats.verdicts)."""
         if self.state != "OK":
             from .frame import build_frame
             fr = build_frame(self.cfg, self.cam, gray, frame_id, timestamp,
@@ -115,10 +120,7 @@ class Tracker:
             has_vel = dc["vel1"]
         aux_arr = jnp.asarray(aux, jnp.float32) if aux is not None else \
             self._zero_aux(gray.shape)
-        out = fused_track_step(
-            self.map, self.cam, self.bounds, jnp.asarray(gray, jnp.float32),
-            aux_arr, bx, ba, last_ids,
-            R_last, t_last, R_prev2, t_prev2, has_vel,
+        common = dict(
             orb_cfg=cfg.orb, height=gray.shape[0], width=gray.shape[1],
             mm_radius=dc["mm_radius"], local_radius=dc["local_radius"],
             depth_th=dc["depth_th"], scale_factor=dc["sf"],
@@ -127,10 +129,26 @@ class Tracker:
             max_lm=cfg.capacity.local_ba_landmarks,
             n_levels=cfg.orb.n_levels,
             n_slots=cfg.capacity.max_keypoints)
+        if dyn is None:
+            out = fused_track_step(
+                self.map, self.cam, self.bounds,
+                jnp.asarray(gray, jnp.float32), aux_arr, bx, ba, last_ids,
+                R_last, t_last, R_prev2, t_prev2, has_vel, **common)
+        else:
+            from .fused import fused_track_step_dyn
+            out = fused_track_step_dyn(
+                self.map, self.cam, self.bounds,
+                jnp.asarray(gray, jnp.float32), aux_arr, bx, ba,
+                dyn["box_status"], dyn["ref_fd"], dyn["have_ref"],
+                last_ids, R_last, t_last, R_prev2, t_prev2, has_vel,
+                seed=dyn["seed"], **common)
         self._prev2_pose = (R_last, t_last)
         frame = Frame(data=out.fd, frame_id=frame_id, timestamp=timestamp,
                       boxes=boxes)
         st = self._post_track(frame, out)
+        if dyn is not None:
+            st.verdicts = self._last_packed[16:16 + cfg.dynamic.max_boxes
+                                            ].astype(np.int32)
         self._bookkeep(frame)
         return st
 
@@ -393,6 +411,7 @@ class Tracker:
     def _post_track(self, frame: Frame, out) -> TrackStats:
         cfg = self.cfg
         packed = np.asarray(out.packed)       # the single readback
+        self._last_packed = packed
         n_mm = int(packed[0])
         n_map = int(packed[1])
         close_bound = int(packed[2])

@@ -40,15 +40,18 @@ def _contiguous9(mask16: jnp.ndarray) -> jnp.ndarray:
     return (r9 & jnp.uint32(0xFFFF)) != 0
 
 
-def fast_response(img: jnp.ndarray, threshold: jnp.ndarray):
+def fast_response(img: jnp.ndarray, threshold: jnp.ndarray, ring=None):
     """Segment test + response for every pixel.
 
     Returns (corner_mask [H,W] bool, score [H,W] float32). Score is the
     arc-strength response sum(max(|ring - p| - t, 0)) over the passing
     direction — monotone in the exact FAST score and adequate for NMS
     ranking (the reference only uses response for quadtree selection).
+    `ring` may be precomputed (shared across thresholds — it is the
+    dominant intermediate, 16 image-sized buffers).
     """
-    ring = _ring_stack(img)  # [16, H, W]
+    if ring is None:
+        ring = _ring_stack(img)  # [16, H, W]
     p = img[None]
     t = jnp.asarray(threshold, img.dtype)
     brighter = ring > p + t
@@ -87,8 +90,9 @@ def detect(img: jnp.ndarray, ini_threshold: float, min_threshold: float,
     border masking).
     """
     h, w = img.shape
-    c_hi, s_hi = fast_response(img, ini_threshold)
-    c_lo, s_lo = fast_response(img, min_threshold)
+    ring = _ring_stack(img)          # built ONCE for both thresholds
+    c_hi, s_hi = fast_response(img, ini_threshold, ring)
+    c_lo, s_lo = fast_response(img, min_threshold, ring)
 
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]

@@ -104,11 +104,14 @@ def radius_pair_mask(uv_a_proj, uv_b, radius_a):
     """Pixel-radius gating mask [N, M]: |proj(a) - kp_b| < r_a.
 
     Replaces GetFeaturesInArea grid buckets (/root/reference/src/
-    Frame.cc:735-801) with a dense masked compare (cheaper than gathers on
-    TPU at these sizes).
+    Frame.cc:735-801) with a dense masked compare. Computed via the
+    |a|^2 + |b|^2 - 2 a.b expansion: one [N, M] matmul buffer instead of
+    the [N, M, 2] broadcast intermediate (the dominant byte cost).
     """
-    d2 = jnp.sum(
-        (uv_a_proj[:, None, :] - uv_b[None, :, :]) ** 2, axis=-1)
+    na = jnp.sum(uv_a_proj * uv_a_proj, axis=-1)         # [N]
+    nb = jnp.sum(uv_b * uv_b, axis=-1)                   # [M]
+    dots = uv_a_proj @ uv_b.T                            # [N, M] (MXU)
+    d2 = na[:, None] + nb[None, :] - 2.0 * dots
     return d2 <= (radius_a[:, None] ** 2)
 
 

@@ -104,10 +104,19 @@ class System:
         """RGB-D entry (ref System::TrackRGBD :222-273 + box overload)."""
         self._advance_boxes(detections)
         boxes, bvalid = self._active_boxes()
-        if self.dynamics is None and mask is None:
-            # fused fast path (one device call per frame)
-            st = self.tracker.step_images(gray, depth, boxes, bvalid,
-                                          self.frame_id, timestamp)
+        if mask is None:
+            # fused fast path (one device call per frame, dynamics fused in)
+            dyn = self._dyn_args(timestamp)
+            if dyn is not None and len(self.boxes.boxes):
+                # classification must keep seeing ALL boxes (a box can move
+                # 1 -> 2 when it starts moving); status gating happens
+                # inside the fused step via dyn["box_status"]
+                boxes = self.boxes.boxes
+                bvalid = np.ones(len(boxes), bool)
+            st = self.tracker.step_images(
+                gray, depth, boxes, bvalid, self.frame_id, timestamp,
+                dyn=dyn)
+            self._dyn_after(st, timestamp)
             self.frame_id += 1
             return st
         frame = build_frame(self.cfg, self.cam, gray, self.frame_id,
@@ -123,16 +132,15 @@ class System:
         """Stereo entry (ref System::TrackStereo :119-220 + box overload)."""
         self._advance_boxes(detections)
         boxes, bvalid = self._active_boxes()
-        if self.dynamics is None:
-            st = self.tracker.step_images(left, right, boxes, bvalid,
-                                          self.frame_id, timestamp)
-            self.frame_id += 1
-            return st
-        frame = build_frame(self.cfg, self.cam, left, self.frame_id,
-                            timestamp, right=right, boxes=boxes,
-                            box_valid=bvalid)
-        frame.box_ids = self.boxes.ids.copy() if boxes is not None else None
-        return self._track_common(frame)
+        dyn = self._dyn_args(timestamp)
+        if dyn is not None and len(self.boxes.boxes):
+            boxes = self.boxes.boxes
+            bvalid = np.ones(len(boxes), bool)
+        st = self.tracker.step_images(
+            left, right, boxes, bvalid, self.frame_id, timestamp, dyn=dyn)
+        self._dyn_after(st, timestamp)
+        self.frame_id += 1
+        return st
 
     def track_mono(self, gray: np.ndarray, timestamp: float) -> TrackStats:
         if self.dynamics is None:
@@ -152,6 +160,31 @@ class System:
             self.dynamics.post_track(frame, self.boxes, self.tracker)
         self.frame_id += 1
         return st
+
+    def _dyn_args(self, timestamp: float):
+        """Inputs for the fused dynamic-classification step (None when the
+        dynamics module is off or the tracker is not yet OK)."""
+        if self.dynamics is None or self.tracker.state != "OK":
+            return None
+        import jax.numpy as jnp
+        B = self.cfg.dynamic.max_boxes
+        status = np.zeros(B, np.int32)
+        n = min(len(self.boxes.status), B)
+        status[:n] = self.boxes.status[:n]
+        ref_fd, have_ref = self.dynamics.pick_ref_fd(
+            timestamp, self.cfg.capacity.max_keypoints)
+        return dict(ref_fd=ref_fd, have_ref=have_ref,
+                    box_status=jnp.asarray(status),
+                    seed=jnp.int32(self.cfg.seed + self.frame_id))
+
+    def _dyn_after(self, st, timestamp: float):
+        if self.dynamics is None:
+            return
+        if st.verdicts is not None and len(self.boxes.boxes):
+            self.dynamics.update_streaks(self.boxes, st.verdicts)
+        lf = self.tracker.last_frame
+        if lf is not None and self.tracker.state == "OK":
+            self.dynamics.push_fd(timestamp, lf.data)
 
     # ------------------------------------------------------------------
     @property
