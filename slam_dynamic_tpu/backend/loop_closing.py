@@ -29,6 +29,29 @@ from ..models import vocabulary as voc_mod
 
 
 @jax.jit
+def _detect_device(hists, has, db_valid, hist, covis, k):
+    """Whole loop-detection scoring in ONE device call -> small packet:
+    [best_cand, best_score, covis_row_of_best (K bools as floats)].
+    Folds: covisible-set exclusion, min-score from strong covisibles
+    (ref :122), candidate query, best selection."""
+    K = covis.shape[0]
+    covis_row = covis[k]
+    exclude = (covis_row > 0)
+    exclude = exclude.at[k].set(True)
+    # min score among strong covisibles
+    strong = (covis_row >= 15) & db_valid
+    sims = 1.0 - 0.5 * jnp.sum(jnp.abs(hists - hists[k][None, :]), axis=1)
+    min_score = jnp.min(jnp.where(strong, sims, jnp.inf))
+    min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.0)
+    db = kfdb_mod.KFDatabase(hists, has, db_valid)
+    cand = kfdb_mod.query(db, hist, covis, exclude, min_score=min_score)
+    best = jnp.argmax(cand.score)
+    return jnp.concatenate([
+        jnp.stack([best.astype(jnp.float32), cand.score[best]]),
+        (covis[best] > 0).astype(jnp.float32)])
+
+
+@jax.jit
 def _match_kf_pair(desc_a, valid_a, obs_a, desc_b, valid_b, obs_b):
     """Match keypoints-with-landmarks of two KFs; returns (idx_b, ok)."""
     has_a = valid_a & (obs_a >= 0)
@@ -83,29 +106,18 @@ class LoopCloser:
     # ------------------------------------------------------------------
     def _detect(self, m: MapState, k: int, hist) -> int:
         """BoW candidates excluding covisibles; consistency streak >= th
-        (ref DetectLoop :104-231)."""
-        covis_row = np.asarray(m.covis[k])
-        exclude = jnp.asarray((covis_row > 0))
-        exclude = exclude.at[k].set(True)
-        # min_score: lowest similarity among strong covisibles (ref :122)
-        strong = np.nonzero(covis_row >= 15)[0]
-        min_score = 0.0
-        if len(strong):
-            scores = [float(voc_mod.l1_score(self.db.hists[k],
-                                             self.db.hists[int(j)]))
-                      for j in strong[:10] if bool(self.db.valid[int(j)])]
-            if scores:
-                min_score = min(scores)
-        cand = kfdb_mod.query(self.db, hist, m.covis, exclude,
-                              min_score=min_score)
-        scores = np.asarray(cand.score)
-        best = int(np.argmax(scores))
-        if scores[best] <= 0:
+        (ref DetectLoop :104-231). ONE device call + ONE readback."""
+        packet = np.asarray(_detect_device(
+            self.db.hists, self.db.has, self.db.valid, hist, m.covis,
+            jnp.int32(k)))
+        best = int(packet[0])
+        best_score = float(packet[1])
+        if best_score <= 0:
             self.streaks = {}
             return -1
         # consistency streak: candidate (or its covis group) seen in
         # consecutive KFs (ref 3x consistency)
-        group = set(np.nonzero(np.asarray(m.covis[best]) > 0)[0].tolist())
+        group = set(np.nonzero(packet[2:] > 0)[0].tolist())
         group.add(best)
         new_streaks = {}
         hit = 0

@@ -94,11 +94,14 @@ def _predict_inside(R_last, t_last, R_prev2, t_prev2, has_vel):
 
 
 def _mm_track(cam, bounds, R_pred, t_pred, R_last, t_last, lm_pos, lm_desc,
-              lm_mask, fd, mm_radius, scale_factor, min_inliers, stereo):
+              lm_dmax, lm_mask, fd, mm_radius, scale_factor, min_inliers,
+              stereo, n_levels):
     """Motion-model stage with narrow+wide fallback sharing ONE Hamming
     matrix (the descriptor matmul is identical for both radii — only the
-    radius pair mask differs). Light LM schedule (2x6); the local-map
-    stage polishes with the full 4x10."""
+    radius pair mask differs). Keeps the octave gates of SearchByProjection
+    (predicted-level radius + level-window pair mask) — dropping them
+    floods the pose optimizer with cross-level outliers. Light LM schedule
+    (2x6); the local-map stage polishes with the full 4x10."""
     from ..utils.camera import project
     from ..optim.pose_opt import optimize_pose
 
@@ -110,8 +113,17 @@ def _mm_track(cam, bounds, R_pred, t_pred, R_last, t_last, lm_pos, lm_desc,
         xc = lm_pos @ Rp.T + tp
         uv = project(cam, xc)
         vis = (xc[:, 2] > 0.1) & lm_mask
-        radius = mm_radius * radius_mult * jnp.ones(lm_pos.shape[0])
+        # predicted octave from scale-invariance range (MapPoint::PredictScale)
+        Ow = -Rp.T @ tp
+        dist_w = jnp.sqrt(jnp.sum((lm_pos - Ow) ** 2, -1) + 1e-12)
+        lvl = jnp.ceil(jnp.log(jnp.maximum(lm_dmax, 1e-6)
+                               / jnp.maximum(dist_w, 1e-6))
+                       / jnp.log(scale_factor)).astype(jnp.int32)
+        lvl = jnp.clip(lvl, 0, n_levels - 1)
+        radius = mm_radius * radius_mult * \
+            scale_factor ** lvl.astype(jnp.float32)
         pm = hm.radius_pair_mask(uv, fd.xy, radius)
+        pm &= hm.level_pair_mask(lvl, fd.level, -1, 1)
         dist = jnp.where(base_mask & pm & vis[:, None], dist_raw, hm.INVALID)
         kp_lm, best, ok = hm.match_nn(dist.T, max_dist=100, ratio=0.9)
         xw = lm_pos[jnp.clip(kp_lm, 0, lm_pos.shape[0] - 1)]
@@ -149,7 +161,8 @@ def _track_stages(m: MapState, cam, bounds, fd: FrameData, last_obs_lm,
 
     R1, t1, n_mm, kp_lm1 = _mm_track(
         cam, bounds, R_pred, t_pred, R_last, t_last, lm_pos, lm_desc,
-        ok_lm, fd, mm_radius, scale_factor, min_inliers_track, stereo)
+        m.lm_dist_max[idc], ok_lm, fd, mm_radius, scale_factor,
+        min_inliers_track, stereo, n_levels)
     kp_lm_global = jnp.where(
         kp_lm1 >= 0, last_obs_lm[jnp.clip(kp_lm1, 0, N - 1)], -1)
 

@@ -61,6 +61,7 @@ class Tracker:
         self.last_kf_id = -1
         self.frames_since_kf = 0
         self.last_kf_inliers = 0
+        self.n_kf_host = 0     # host mirror of map.n_kf (avoids readbacks)
         self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
         self.on_keyframe: Optional[Callable[[int], None]] = None
         # optional relocalizer: frame -> (ok, R, t, obs_lm) (wired by System)
@@ -237,7 +238,8 @@ class Tracker:
             self.map, self.cam, frame.data, R0, t0, frame.frame_id,
             frame.timestamp, no_obs, depth_th, self._sf,
             n_levels=self.cfg.orb.n_levels)
-        k = int(self.map.n_kf) - 1
+        self.n_kf_host += 1
+        k = self.n_kf_host - 1
         # frame observations = what the KF just bound
         frame.obs_lm = self.map.kf_obs_lm[k]
         self.state = "OK"
@@ -311,6 +313,7 @@ class Tracker:
         frame.t = self.map.kf_t[1]
         frame.obs_lm = self.map.kf_obs_lm[1]
         self.state = "OK"
+        self.n_kf_host = 2
         self.last_kf_id = 1
         self.frames_since_kf = 0
         self.last_kf_inliers = int((frame.obs_lm >= 0).sum())
@@ -335,7 +338,7 @@ class Tracker:
         # hard reset when lost right after initialization AND relocalization
         # failed (ref Tracking.cc:918-927 resets at <=5 KFs; we give
         # relocalization a chance first — strictly more capable)
-        if int(self.map.n_kf) <= 5 and not self.localization_only \
+        if self.n_kf_host <= 5 and not self.localization_only \
                 and self.relocalizer is None:
             self.reset()
             return TrackStats("NOT_INITIALIZED")
@@ -355,6 +358,7 @@ class Tracker:
         self._kf_pose_cache = {}
         self._init_ref = None
         self._prev2_pose = None
+        self.n_kf_host = 0
 
     # ------------------------------------------------------------------
     def _predict_pose(self):
@@ -465,7 +469,8 @@ class Tracker:
             self.map, self.cam, frame.data, frame.R, frame.t,
             frame.frame_id, frame.timestamp, frame.obs_lm, depth_th,
             self._sf, n_levels=self.cfg.orb.n_levels)
-        k = int(self.map.n_kf) - 1
+        self.n_kf_host += 1
+        k = self.n_kf_host - 1
         frame.obs_lm = self.map.kf_obs_lm[k]
         self.last_kf_id = k
         self.frames_since_kf = 0

@@ -71,7 +71,7 @@ def query(db: KFDatabase, hist, covis, exclude_mask,
     # group accumulation: each candidate's score + scores of its top-10
     # covisible KFs that are also candidates
     w = covis * (score > 0)[None, :]
-    topw, topi = jax.lax.top_k(w, 10)
+    topw, topi = jax.lax.top_k(w, min(10, w.shape[1]))
     group = score + jnp.sum(jnp.where(topw > 0, score[topi], 0.0), axis=1)
     group = jnp.where(score > 0, group, 0.0)
     # final cut: accumulated >= 0.75 * best accumulated (ref :188-198)
