@@ -129,3 +129,30 @@ def draw_trajectory_topdown(traj_xyz: np.ndarray,
             if 0 <= x < size and 0 <= y < size:
                 img[np.clip(size - 1 - y, 0, size - 1), x] = color
     return img
+
+
+def export_obbs_ply(path: str, obbs):
+    """Dynamic-object 3D boxes as PLY edge clouds (MapDrawer::DrawDynamics
+    equivalent, ref /root/reference/src/MapDrawer.cc:181-260): each OBB is
+    sampled along its 12 edges."""
+    import numpy as np
+    pts = []
+    for bid, obb in obbs.items():
+        c = np.asarray(obb.center)
+        A = np.asarray(obb.axes)          # rows = axes
+        e = np.asarray(obb.extents)
+        corners = []
+        for sx in (-1, 1):
+            for sy in (-1, 1):
+                for sz in (-1, 1):
+                    corners.append(c + A.T @ (e * np.array([sx, sy, sz])))
+        corners = np.asarray(corners)
+        edges = [(0, 1), (0, 2), (0, 4), (1, 3), (1, 5), (2, 3), (2, 6),
+                 (3, 7), (4, 5), (4, 6), (5, 7), (6, 7)]
+        for a, b in edges:
+            for t in np.linspace(0, 1, 8):
+                pts.append(corners[a] * (1 - t) + corners[b] * t)
+    from ..ops.pointcloud import save_ply
+    pts = np.asarray(pts) if pts else np.zeros((0, 3))
+    save_ply(path, pts)
+    return len(pts)

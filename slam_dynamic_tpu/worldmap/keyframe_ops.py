@@ -70,3 +70,47 @@ def bind_observations(m: MapState, kf_idx, slot_obs_lm) -> MapState:
     flat = jnp.where((obs >= 0) & m.kf_kp_valid, obs, L).reshape(-1)
     n_obs = jnp.zeros(L + 1, jnp.int32).at[flat].add(1)[:L]
     return m._replace(lm_n_obs=n_obs)
+
+
+@jax.jit
+def refresh_landmark_descriptors(m: MapState) -> MapState:
+    """MapPoint::ComputeDistinctiveDescriptors equivalent: set each
+    landmark's descriptor to the observation descriptor with minimum median
+    Hamming distance to the others (ref /root/reference/src/MapPoint.cc).
+
+    Fixed shape: up to MAX_OBS=8 observing keyframes per landmark are
+    gathered via a bounded scan over the kf_obs_lm table.
+    """
+    from ..ops.hamming import hamming_pairs
+    K, N = m.kf_obs_lm.shape
+    L = m.lm_pos.shape[0]
+    MAX_OBS = 8
+    # obs_desc[l, j]: j-th observing keyframe's descriptor of landmark l.
+    # Build by scatter: iterate keyframes (static K loop is too big — use a
+    # scatter with per-landmark slot cursor approximation: hash kf into a
+    # slot; collisions overwrite, which is acceptable for a median).
+    slot = jnp.zeros((L, MAX_OBS, 8), jnp.uint32)
+    have = jnp.zeros((L, MAX_OBS), bool)
+    ks = jnp.arange(K) % MAX_OBS
+    lm = jnp.where((m.kf_obs_lm >= 0) & m.kf_kp_valid
+                   & m.kf_valid[:, None], m.kf_obs_lm, L)
+    flat_lm = lm.reshape(-1)
+    flat_slot = jnp.repeat(ks, N)
+    flat_desc = m.kf_kp_desc.reshape(-1, 8)
+    slot = jnp.concatenate([slot, jnp.zeros((1, MAX_OBS, 8), jnp.uint32)]
+                           ).at[flat_lm, flat_slot].set(flat_desc)[:L]
+    have = jnp.concatenate([have, jnp.zeros((1, MAX_OBS), bool)]
+                           ).at[flat_lm, flat_slot].set(True)[:L]
+    # pairwise Hamming among the up-to-8 observations
+    d = jax.vmap(lambda a: hamming_pairs(a[:, None, :], a[None, :, :]))(slot)
+    big = jnp.int32(1 << 12)
+    pair_ok = have[:, :, None] & have[:, None, :]
+    d = jnp.where(pair_ok, d, big)
+    med = jnp.median(d, axis=2)                     # [L, MAX_OBS]
+    med = jnp.where(have, med, jnp.inf)
+    bestj = jnp.argmin(med, axis=1)                 # [L]
+    best_desc = slot[jnp.arange(L), bestj]
+    any_obs = have.any(axis=1)
+    new_desc = jnp.where((m.lm_valid & any_obs)[:, None], best_desc,
+                         m.lm_desc)
+    return m._replace(lm_desc=new_desc)
