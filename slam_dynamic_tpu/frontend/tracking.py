@@ -505,6 +505,10 @@ class Tracker:
             self.map = cull_keyframes(
                 self.map, jnp.int32(k),
                 redundancy=self.cfg.mapping.kf_redundancy_ratio)
+        if k % 4 == 3:
+            # periodic MapPoint::ComputeDistinctiveDescriptors refresh
+            from ..worldmap.keyframe_ops import refresh_landmark_descriptors
+            self.map = refresh_landmark_descriptors(self.map)
         if self.on_keyframe:
             self.on_keyframe(k)
         self._kf_pose_cache.clear()   # map poses may have moved (BA/loop)
