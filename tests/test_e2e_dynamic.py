@@ -75,3 +75,25 @@ def test_box_tracker_iou_and_ghosts():
     d4 = np.array([[200, 20, 240, 80]], np.float32)
     st = track_boxes(st, np.vstack([d2 + 10, d4]))
     assert 2 in st.ids.tolist()
+
+
+@pytest.mark.slow
+def test_stereo_dynamic_object():
+    """Stereo sensor + moving object + box gating (the KITTI-style config:
+    stereo driver with YOLO boxes, SURVEY BASELINE config 3)."""
+    scfg = SynthConfig(**BASE, dynamic_object=True, obj_size=1.6,
+                       obj_depth=3.0, obj_speed=0.09, stereo=True,
+                       baseline=0.2)
+    seq = generate(scfg)
+    sys_ = make_system(scfg, detector="precomputed")
+    sys_.cfg = sys_.cfg.replace(sensor="stereo")
+    sys_.tracker.cfg = sys_.cfg
+    for i in range(seq.gray.shape[0]):
+        det = seq.boxes[i][seq.box_valid[i]] if seq.box_valid[i, 0] else None
+        sys_.track_stereo(seq.gray[i], seq.right[i],
+                          float(seq.timestamps[i]), detections=det)
+    est = np.stack([-R.T @ t for _, R, t in sys_.trajectory])
+    gt = seq.t_wc[:len(est)]
+    ate = ate_rmse(est, gt, align=False)
+    assert ate < 0.15, ate
+    assert (sys_.boxes.status == 2).any()    # object confirmed dynamic
