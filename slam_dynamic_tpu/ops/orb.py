@@ -87,16 +87,23 @@ def ic_angles(img: jnp.ndarray, xy: jnp.ndarray):
 
     img: [H, W] float32 (raw level image), xy: [N, 2] int32 (x, y).
     Returns angle [N] float32 in radians.
+
+    Gather-based: patches are gathered only at the N selected keypoints
+    and reduced against the moment masks. (A whole-image 31x31 conv is
+    ~1000x off roofline on TPU for 1-channel NCHW — XLA pads the channel
+    dim to the MXU width; profiling showed it dominating the frontend.)
     """
     kx, ky = _moment_kernels()
-    kern = jnp.stack([jnp.asarray(kx), jnp.asarray(ky)])[:, None]  # [2,1,31,31]
     r = PATCH_RADIUS
-    padded = jnp.pad(img, ((r, r), (r, r)))[None, None]
-    m = jax.lax.conv_general_dilated(
-        padded, kern, (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]  # [2, H, W]
-    m10 = m[0][xy[:, 1], xy[:, 0]]
-    m01 = m[1][xy[:, 1], xy[:, 0]]
+    h, w = img.shape
+    padded = jnp.pad(img, ((r, r), (r, r)))
+    dy = jnp.arange(2 * r + 1)[None, :, None]
+    dx = jnp.arange(2 * r + 1)[None, None, :]
+    rows = xy[:, 1][:, None, None] + dy            # [N, 31, 1] (+r offset
+    cols = xy[:, 0][:, None, None] + dx            # cancels padding shift)
+    patches = padded[rows, cols]                   # [N, 31, 31]
+    m10 = jnp.einsum("nij,ij->n", patches, jnp.asarray(kx))
+    m01 = jnp.einsum("nij,ij->n", patches, jnp.asarray(ky))
     return jnp.arctan2(m01, m10)
 
 

@@ -164,31 +164,25 @@ def select_batched(score, budgets, cell: int, per_cell: int
 
 
 def blur_stack(stack, ksize: int = 7, sigma: float = 2.0):
-    """Separable Gaussian on the level stack (2 convs total)."""
-    k = jnp.asarray(_gaussian_kernel(ksize, sigma))
-    r = ksize // 2
-    L, H, W = stack.shape
-    x = jnp.pad(stack, ((0, 0), (r, r), (r, r)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[:, None], k[None, None, None, :], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(
-        x, k[None, None, :, None], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return x[:, 0]
+    """Separable Gaussian on the level stack (slice-sum form — see
+    pyramid.gaussian_blur; supports leading batch dims)."""
+    from .pyramid import gaussian_blur
+    return gaussian_blur(stack, ksize, sigma)
 
 
 def ic_angles_batched(stack, kp: BatchedKeypoints):
-    """IC angles for all keypoints: ONE moment conv + ONE gather."""
+    """IC angles for all keypoints: ONE patch gather over the level stack
+    (whole-image 1-channel convs are pathological on TPU)."""
     kx, ky = _moment_kernels()
-    kern = jnp.stack([jnp.asarray(kx), jnp.asarray(ky)])[:, None]
     r = PATCH_RADIUS
-    padded = jnp.pad(stack, ((0, 0), (r, r), (r, r)))[:, None]
-    m = jax.lax.conv_general_dilated(
-        padded, kern, (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))    # [L, 2, H, W]
-    m10 = m[kp.lvl, 0, kp.y, kp.x]
-    m01 = m[kp.lvl, 1, kp.y, kp.x]
+    padded = jnp.pad(stack, ((0, 0), (r, r), (r, r)))
+    dy = jnp.arange(2 * r + 1)[None, :, None]
+    dx = jnp.arange(2 * r + 1)[None, None, :]
+    rows = kp.y[:, None, None] + dy
+    cols = kp.x[:, None, None] + dx
+    patches = padded[kp.lvl[:, None, None], rows, cols]   # [N, 31, 31]
+    m10 = jnp.einsum("nij,ij->n", patches, jnp.asarray(kx))
+    m01 = jnp.einsum("nij,ij->n", patches, jnp.asarray(ky))
     return jnp.arctan2(m01, m10)
 
 

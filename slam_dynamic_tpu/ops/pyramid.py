@@ -50,16 +50,19 @@ def _gaussian_kernel(ksize: int, sigma: float) -> np.ndarray:
 
 def gaussian_blur(image: jnp.ndarray, ksize: int = 7,
                   sigma: float = 2.0) -> jnp.ndarray:
-    """Separable Gaussian blur with reflect padding, [H, W] float32."""
-    k = jnp.asarray(_gaussian_kernel(ksize, sigma))
+    """Separable Gaussian blur with reflect padding, [H, W] float32.
+
+    Implemented as shifted-slice weighted sums (pure VPU elementwise, fused
+    by XLA) — 1-channel NCHW convs lower catastrophically on TPU.
+    """
+    kern = _gaussian_kernel(ksize, sigma)
     r = ksize // 2
-    x = jnp.pad(image, ((r, r), (r, r)), mode="reflect")
-    # rows
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :], k[None, None, None, :], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    # cols
-    x = jax.lax.conv_general_dilated(
-        x, k[None, None, :, None], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return x[0, 0]
+    h, w = image.shape[-2], image.shape[-1]
+    x = jnp.pad(image, [(0, 0)] * (image.ndim - 2) + [(r, r), (0, 0)],
+                mode="reflect")
+    out = sum(float(kern[i]) * jax.lax.slice_in_dim(x, i, i + h, axis=-2)
+              for i in range(ksize))
+    x = jnp.pad(out, [(0, 0)] * (image.ndim - 2) + [(0, 0), (r, r)],
+                mode="reflect")
+    return sum(float(kern[i]) * jax.lax.slice_in_dim(x, i, i + w, axis=-1)
+               for i in range(ksize))
