@@ -1,0 +1,53 @@
+"""The complete keyframe-insertion mapping stage as ONE jit unit.
+
+Composes make_keyframe -> cull_landmarks -> fuse_into_keyframe ->
+local_ba -> cull_keyframes (the LocalMapping::Run sequence,
+/root/reference/src/LocalMapping.cc:48-113) into a single device call —
+on the measured tunnel profile each separate dispatch+sync costs tens of
+milliseconds, so keyframe frames were paying ~6 round trips.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.camera import Intrinsics
+from ..worldmap.state import MapState
+from ..worldmap.keyframe_ops import make_keyframe, \
+    refresh_landmark_descriptors
+from ..frontend.frame import FrameData
+from ..frontend import tracking_ops as tops
+from .local_mapping import cull_landmarks, local_ba
+from .fusion import fuse_into_keyframe, cull_keyframes
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_levels", "stereo", "max_kf", "max_lm", "do_ba",
+                     "do_refresh"))
+def insert_keyframe_stage(m: MapState, cam: Intrinsics, fd: FrameData,
+                          R, t, frame_id, timestamp, obs_lm, depth_th,
+                          scale_factor, redundancy,
+                          n_levels: int = 8, stereo: bool = True,
+                          max_kf: int = 16, max_lm: int = 4096,
+                          do_ba: bool = True, do_refresh: bool = False):
+    """Insert KF + full mapping pass. Returns (map, k) with k the new
+    keyframe slot (device scalar; the host mirrors the counter)."""
+    k = m.n_kf
+    m = make_keyframe(m, cam, fd, R, t, frame_id, timestamp, obs_lm,
+                      depth_th, scale_factor, n_levels=n_levels)
+    m = cull_landmarks(m, k)
+    if do_ba:
+        local = tops.select_local_map(m.kf_obs_lm, m.kf_valid,
+                                      m.kf_obs_lm[k], m.lm_pos.shape[0],
+                                      max_kf=max_kf, max_lm=max_lm)
+        m = fuse_into_keyframe(m, cam, k, local.lm_ids, local.lm_mask,
+                               scale_factor, max_lm=max_lm)
+        m = local_ba(m, cam, k, scale_factor, stereo=stereo,
+                     max_kf=min(max_kf, 16), max_lm=max_lm)
+        m = cull_keyframes(m, k, redundancy=redundancy)
+    if do_refresh:
+        m = refresh_landmark_descriptors(m)
+    return m, k

@@ -464,51 +464,30 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _create_keyframe(self, frame: Frame, n_map: int):
-        depth_th = float(self.cfg.camera.th_depth * self.cam.baseline)
-        self.map = make_keyframe(
-            self.map, self.cam, frame.data, frame.R, frame.t,
-            frame.frame_id, frame.timestamp, frame.obs_lm, depth_th,
-            self._sf, n_levels=self.cfg.orb.n_levels)
+        from ..backend.mapping_stage import insert_keyframe_stage
+        cfg = self.cfg
+        depth_th = float(cfg.camera.th_depth * self.cam.baseline)
         self.n_kf_host += 1
         k = self.n_kf_host - 1
-        frame.obs_lm = self.map.kf_obs_lm[k]
-        self.last_kf_id = k
-        self.frames_since_kf = 0
-        self.last_kf_inliers = n_map
-        # mapping stage (synchronous pipeline, ref LocalMapping::Run order:
-        # cull landmarks -> create points -> fuse neighbors -> local BA ->
-        # cull keyframes)
+        # the whole insert->cull->fuse->BA->cull chain is ONE device call
+        self.map, _ = insert_keyframe_stage(
+            self.map, self.cam, frame.data, frame.R, frame.t,
+            jnp.int32(frame.frame_id), jnp.float32(frame.timestamp),
+            frame.obs_lm, jnp.float32(depth_th), jnp.float32(self._sf),
+            jnp.float32(cfg.mapping.kf_redundancy_ratio),
+            n_levels=cfg.orb.n_levels, stereo=self.stereo_obs,
+            max_kf=cfg.capacity.local_ba_keyframes,
+            max_lm=cfg.capacity.local_ba_landmarks,
+            do_ba=(k >= 2), do_refresh=(k % 4 == 3))
         if not self.stereo_obs:
             # mono: new landmarks come from triangulation, not depth
             from ..backend.triangulation import create_new_landmarks
             self.map = create_new_landmarks(self.map, self.cam, k, self._sf,
                                             n_levels=self.cfg.orb.n_levels)
-        self.map = cull_landmarks(self.map, jnp.int32(k))
-        if k >= 2:
-            # fuse duplicate landmarks from the local map into the new KF
-            # (SearchInNeighbors/Fuse)
-            from ..backend.fusion import fuse_into_keyframe, cull_keyframes
-            local = tops.select_local_map(
-                self.map.kf_obs_lm, self.map.kf_valid, self.map.kf_obs_lm[k],
-                self.map.lm_pos.shape[0],
-                max_kf=self.cfg.capacity.local_ba_keyframes,
-                max_lm=self.cfg.capacity.local_ba_landmarks)
-            self.map = fuse_into_keyframe(
-                self.map, self.cam, jnp.int32(k), local.lm_ids,
-                local.lm_mask, jnp.float32(self._sf),
-                max_lm=self.cfg.capacity.local_ba_landmarks)
-            self.map = local_ba(
-                self.map, self.cam, jnp.int32(k), jnp.float32(self._sf),
-                stereo=self.stereo_obs,
-                max_kf=min(self.cfg.capacity.local_ba_keyframes, 16),
-                max_lm=self.cfg.capacity.local_ba_landmarks)
-            self.map = cull_keyframes(
-                self.map, jnp.int32(k),
-                redundancy=self.cfg.mapping.kf_redundancy_ratio)
-        if k % 4 == 3:
-            # periodic MapPoint::ComputeDistinctiveDescriptors refresh
-            from ..worldmap.keyframe_ops import refresh_landmark_descriptors
-            self.map = refresh_landmark_descriptors(self.map)
+        frame.obs_lm = self.map.kf_obs_lm[k]
+        self.last_kf_id = k
+        self.frames_since_kf = 0
+        self.last_kf_inliers = n_map
         if self.on_keyframe:
             self.on_keyframe(k)
         self._kf_pose_cache.clear()   # map poses may have moved (BA/loop)
