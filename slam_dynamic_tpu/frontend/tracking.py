@@ -2,11 +2,11 @@
 
 Host-side equivalent of Tracking::Track_new (/root/reference/src/
 Tracking.cc:586-966) — the branchy state machine stays in Python (it is
-control plane), while every numeric stage is one fused jit call from
-tracking_ops/keyframe_ops/local_mapping. Per frame the device sees at most:
-  1 extractor call + 1 depth-association call (frame build),
-  1 track-vs-last-frame call, 1 local-map-select, 1 track-vs-local-map,
-  and on keyframe insertion: make_keyframe + cull + local BA.
+control plane), while the numerics are fused jit units. Per frame the
+device sees exactly ONE call (frontend/fused.py: frame build + both
+tracking stages + stats) plus one packed readback; keyframe frames add ONE
+mapping-stage call (backend/mapping_stage.py: insert + cull + fuse + local
+BA + KF cull) and the loop-closing BoW call.
 
 States: NOT_INITIALIZED -> OK <-> LOST (Relocalization lives in
 backend/relocalization.py and is wired by System).
