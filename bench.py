@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--ate", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="1-deep pipelined readback (decisions lag 1 frame)")
     args = ap.parse_args()
 
     import jax
@@ -71,6 +73,10 @@ def main():
                                 max_keypoints=nkp, local_ba_keyframes=8,
                                 local_ba_landmarks=2048),
         sensor="rgbd")
+    if args.pipeline:
+        import dataclasses
+        cfg = cfg.replace(tracking=dataclasses.replace(
+            cfg.tracking, pipeline_depth=1))
     sys_ = System(cfg)
 
     # warmup: first few frames trigger all compiles

@@ -81,6 +81,9 @@ class TrackingConfig:
     reloc_max_candidates: int = 8
     # dynamic-scene handling
     mono_init_min_matches: int = 100       # ref :1445 (scale with features)
+    pipeline_depth: int = 0                # 1 = overlap the packed readback
+    # of frame t with the dispatch of frame t+1 (decisions lag one frame,
+    # like the reference's async LocalMapping thread); 0 = synchronous
     ref_frame_age_s: float = 0.2           # ref :623
     frame_queue_factor: float = 0.3        # queue cap 0.3*fps, ref :954
     dyn_confirm_frames: int = 2            # 2 consecutive dyn frames, ref :1213

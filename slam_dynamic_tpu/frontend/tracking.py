@@ -72,6 +72,7 @@ class Tracker:
         self._dev_consts = None
         self._prev2_pose = None
         self._zero_aux_cache = None
+        self._pending = None   # pipelined mode: (frame, out) awaiting readback
         # localization-only mode: track against the existing map, create no
         # keyframes (ref System::ActivateLocalizationMode, System.h:87-89)
         self.localization_only = False
@@ -87,6 +88,7 @@ class Tracker:
         the dynamic-scene variant (classification fused in; verdicts
         returned in TrackStats.verdicts)."""
         if self.state != "OK":
+            self._finalize_pending()   # drain pipelined frame, if any
             from .frame import build_frame
             fr = build_frame(self.cfg, self.cam, gray, frame_id, timestamp,
                              right=aux if self.cfg.sensor == "stereo" else None,
@@ -146,11 +148,58 @@ class Tracker:
         self._prev2_pose = (R_last, t_last)
         frame = Frame(data=out.fd, frame_id=frame_id, timestamp=timestamp,
                       boxes=boxes)
+
+        if cfg.tracking.pipeline_depth > 0 and dyn is None:
+            # 1-deep pipeline: finalize the PREVIOUS frame while this one
+            # computes on device (overlaps the ~100ms readback latency with
+            # compute; state-machine decisions lag one frame — the same lag
+            # the reference's async LocalMapping thread has)
+            frame.R, frame.t = out.R, out.t        # device handles for next
+            frame.obs_lm = out.obs_lm
+            st_prev = self._finalize_pending()
+            self._pending = (frame, out)
+            self.last_frame = frame                # next dispatch chains here
+            return st_prev if st_prev is not None else TrackStats("OK")
+
         st = self._post_track(frame, out)
         if dyn is not None:
             st.verdicts = self._last_packed[16:16 + cfg.dynamic.max_boxes
                                             ].astype(np.int32)
         self._bookkeep(frame)
+        return st
+
+    # ------------------------------------------------------------------
+    def _finalize_pending(self):
+        """Pipelined mode: read back + bookkeep the deferred frame."""
+        pending = self._pending
+        self._pending = None
+        if pending is None:
+            return None
+        frame, out = pending
+        saved_last = self.last_frame
+        st = self._post_track(frame, out)
+        # _post_track may set state/insert KF; bookkeeping must see the
+        # frame BEFORE the currently-dispatched one as "last"
+        self._bookkeep_pipelined(frame)
+        self.last_frame = saved_last
+        return st
+
+    def _bookkeep_pipelined(self, frame: Frame):
+        if frame.R is None:
+            return
+        R = frame.np_R if frame.np_R is not None else np.asarray(frame.R)
+        t = frame.np_t if frame.np_t is not None else np.asarray(frame.t)
+        k = max(self.last_kf_id, 0)
+        Rk, tk = self._kf_pose_np(k)
+        R_rel = R @ Rk.T
+        t_rel = t - R_rel @ tk
+        self.trajectory.append((frame.timestamp, k, R_rel, t_rel))
+        frame.np_R, frame.np_t = R, t
+
+    def flush(self):
+        """Drain the pipelined frame (call before reading trajectories or
+        switching modes)."""
+        st = self._finalize_pending()
         return st
 
     def _zero_aux(self, shape):

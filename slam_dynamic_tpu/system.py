@@ -189,6 +189,7 @@ class System:
     # ------------------------------------------------------------------
     @property
     def trajectory(self):
+        self.tracker.flush()
         return self.tracker.trajectory_poses()
 
     def save_trajectory_tum(self, path: str):
