@@ -77,10 +77,21 @@ def main():
         import dataclasses
         cfg = cfg.replace(tracking=dataclasses.replace(
             cfg.tracking, pipeline_depth=1))
-    sys_ = System(cfg)
+    # warmup on a THROWAWAY system with forced keyframe cadence so every
+    # jit unit (fused step, mapping stage, loop-closer BoW) compiles before
+    # the timed window — first-compiles through the tunnel take minutes and
+    # must not pollute steady-state numbers
+    import dataclasses
+    warm_cfg = cfg.replace(tracking=dataclasses.replace(
+        cfg.tracking, max_frames_between_kf=3))
+    warm = System(warm_cfg)
+    n_warm_frames = min(10, scfg.n_frames)
+    for i in range(n_warm_frames):
+        warm.track_rgbd(seq.gray[i], seq.depth[i], float(seq.timestamps[i]))
+    del warm
 
-    # warmup: first few frames trigger all compiles
-    n_warm = min(4, scfg.n_frames)
+    sys_ = System(cfg)
+    n_warm = min(2, scfg.n_frames)
     for i in range(n_warm):
         sys_.track_rgbd(seq.gray[i], seq.depth[i], float(seq.timestamps[i]))
 
