@@ -30,8 +30,10 @@ def main():
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--ate", action="store_true")
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--pipeline", action="store_true",
-                    help="1-deep pipelined readback (decisions lag 1 frame)")
+    ap.add_argument("--pipeline", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="1-deep pipelined readback (decisions lag 1 frame; "
+                         "measured +23%% fps at ~2mm ATE cost)")
     args = ap.parse_args()
 
     import jax

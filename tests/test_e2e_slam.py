@@ -104,3 +104,28 @@ def test_mono_initialization_and_tracking():
     gt = seq.t_wc[idx0:idx0 + len(est)]
     ate = ate_rmse(est, gt, with_scale=True)
     assert ate < 0.15, ate
+
+
+@pytest.mark.slow
+def test_pipelined_mode_matches_sync():
+    """1-deep pipelined readback (pipeline_depth=1) tracks the same
+    sequence with comparable accuracy and a full-length trajectory."""
+    import dataclasses
+    scfg = SynthConfig(n_frames=20, width=320, height=240, fx=260.0,
+                       fy=260.0, cx=159.5, cy=119.5)
+    seq = generate(scfg)
+    ates = {}
+    for depth in (0, 1):
+        sys_ = make_system(scfg)
+        tr = dataclasses.replace(sys_.cfg.tracking, pipeline_depth=depth)
+        sys_.cfg = sys_.cfg.replace(tracking=tr)
+        sys_.tracker.cfg = sys_.cfg
+        for i in range(20):
+            sys_.track_rgbd(seq.gray[i], seq.depth[i],
+                            float(seq.timestamps[i]))
+        traj = sys_.trajectory     # flushes the pipeline
+        assert len(traj) == 20
+        est = np.stack([-R.T @ t for _, R, t in traj])
+        ates[depth] = ate_rmse(est, seq.t_wc[:20])
+    assert ates[1] < 0.03, ates
+    assert ates[1] < ates[0] * 3 + 0.01
