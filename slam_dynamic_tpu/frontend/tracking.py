@@ -156,12 +156,9 @@ class Tracker:
             # the reference's async LocalMapping thread has)
             frame.R, frame.t = out.R, out.t        # device handles for next
             frame.obs_lm = out.obs_lm
-            try:
-                # start the host copy of the packet as soon as the device
-                # produces it (overlaps transfer with the next dispatch)
-                out.packed.copy_to_host_async()
-            except Exception:
-                pass
+            # note: copy_to_host_async() on the packet was tried here and
+            # REGRESSED throughput on the axon tunnel (11.7 -> 8.9 fps);
+            # the blocking readback in _finalize_pending is faster.
             st_prev = self._finalize_pending()
             self._pending = (frame, out)
             self.last_frame = frame                # next dispatch chains here
