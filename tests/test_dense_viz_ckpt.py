@@ -115,3 +115,52 @@ def test_map_checkpoint_roundtrip(tmp_path):
     for f in m._fields:
         np.testing.assert_array_equal(np.asarray(getattr(m, f)),
                                       np.asarray(getattr(m2, f)))
+
+
+def test_checkpoint_resume_continues_tracking():
+    """Save the map mid-sequence, rebuild a fresh System from the
+    checkpoint, and keep tracking (the reference's SaveMap/LoadMap is an
+    unimplemented TODO — System.h:122-124)."""
+    import jax.numpy as jnp
+    import tempfile, os
+    from slam_dynamic_tpu.io.synthetic import SynthConfig as SC, generate
+    from slam_dynamic_tpu.io.evo import ate_rmse
+    from slam_dynamic_tpu.worldmap.checkpoint import save_map, load_map
+    from tests.test_e2e_slam import make_system
+
+    scfg = SC(n_frames=20, width=320, height=240, fx=260.0, fy=260.0,
+              cx=159.5, cy=119.5)
+    seq = generate(scfg)
+    sys_ = make_system(scfg)
+    for i in range(10):
+        sys_.track_rgbd(seq.gray[i], seq.depth[i], float(seq.timestamps[i]))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "map.npz")
+        save_map(p, sys_.tracker.map)
+
+        sys2 = make_system(scfg)
+        sys2.tracker.map = load_map(p)
+        sys2.tracker.n_kf_host = int(sys2.tracker.map.n_kf)
+        sys2.tracker.state = "LOST"      # no last frame: force relocalize
+        # rebuild the BoW database for relocalization from the map
+        sys2.tracker.last_kf_id = sys2.tracker.n_kf_host - 1
+        sys2._ensure_voc()
+        from slam_dynamic_tpu.models import vocabulary as voc_mod
+        from slam_dynamic_tpu.worldmap import kfdb as kfdb_mod
+        m = sys2.tracker.map
+        for k in range(int(m.n_kf)):
+            bv = voc_mod.transform(sys2.voc, m.kf_kp_desc[k],
+                                   m.kf_kp_valid[k])
+            sys2.loop.db = kfdb_mod.add(
+                sys2.loop.db, k,
+                voc_mod.bow_histogram(bv, sys2.voc.n_words))
+        states = []
+        for i in range(10, 20):
+            st = sys2.track_rgbd(seq.gray[i], seq.depth[i],
+                                 float(seq.timestamps[i]))
+            states.append(st.state)
+    assert states.count("OK") >= 8, states
+    est = np.stack([-R.T @ t for _, R, t in sys2.trajectory])
+    idx0 = 20 - len(est)
+    ate = ate_rmse(est, seq.t_wc[idx0:20])
+    assert ate < 0.05, ate
