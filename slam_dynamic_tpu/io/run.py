@@ -73,6 +73,14 @@ def main(argv=None):
     ap.add_argument("--out", default="/tmp/slam_run")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--ply", action="store_true", help="export dense map")
+    ap.add_argument("--save-map", default=None, metavar="NPZ",
+                    help="write the sparse map checkpoint after the run")
+    ap.add_argument("--load-map", default=None, metavar="NPZ",
+                    help="resume from a map checkpoint (starts in "
+                         "relocalization)")
+    ap.add_argument("--skip", type=int, default=0,
+                    help="skip the first N frames (pair with --load-map to "
+                         "resume mid-sequence)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -83,6 +91,11 @@ def main(argv=None):
     cfg = build_config(args)
     data = make_dataset(args, cfg)
     sys_ = System(cfg)
+    if args.load_map:
+        sys_.load_map(args.load_map)
+        print(json.dumps({"loaded_map": args.load_map,
+                          "keyframes": int(sys_.tracker.map.n_kf),
+                          "state": sys_.tracker.state}))
 
     dense = None
     if args.ply and args.sensor == "rgbd":
@@ -92,7 +105,9 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     times = []
     n_lost = 0
-    for pkt in data:
+    for i, pkt in enumerate(data):
+        if i < args.skip:
+            continue
         t0 = time.time()
         if args.sensor == "rgbd":
             st = sys_.track_rgbd(pkt.gray, pkt.depth, pkt.timestamp,
@@ -117,6 +132,8 @@ def main(argv=None):
         os.path.join(args.out, "KeyFrameTrajectory.txt"))
     if dense is not None:
         dense.save_ply(os.path.join(args.out, "map.ply"))
+    if args.save_map:
+        sys_.save_map(args.save_map)
     # timing stats as the reference drivers print (stereo_kitti.cc:161-170)
     ts = np.sort(np.asarray(times))
     summary = {

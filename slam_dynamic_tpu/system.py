@@ -206,6 +206,52 @@ class System:
                    if bool(m.kf_valid[k])]
         traj_io.save_tum(path, kf_traj)
 
+    # ------------------------------------------------------------------
+    def save_map(self, path: str):
+        """Persist the sparse map to an .npz checkpoint.
+
+        The reference declares SaveMap/LoadMap but never implements them
+        (System.h:122-124 TODO); here it is a supported API: the whole map
+        is one pytree of arrays, so a checkpoint is a single npz write.
+        """
+        from .worldmap.checkpoint import save_map as _save
+        self.tracker.flush()
+        _save(path, self.tracker.map)
+
+    def load_map(self, path: str):
+        """Restore a map checkpoint and resume in relocalization mode.
+
+        After loading, the tracker has no last-frame state, so it starts
+        LOST and relocalizes against the restored keyframes on the next
+        tracked frame. The BoW keyframe database is rebuilt from the
+        stored keyframe descriptors (the vocabulary is retrained from
+        keyframe 0 if no pretrained one is configured — deterministic
+        under cfg.seed).
+        """
+        from .worldmap.checkpoint import load_map as _load
+        from .models import vocabulary as voc_mod
+        from .worldmap import kfdb as kfdb_mod
+        m = _load(path)
+        t = self.tracker
+        t.map = m
+        t.n_kf_host = int(m.n_kf)
+        t.last_kf_id = t.n_kf_host - 1
+        t.last_frame = None
+        t.state = "LOST" if t.n_kf_host > 0 else "NOT_INITIALIZED"
+        if t.n_kf_host == 0:
+            return
+        self._ensure_voc()
+        db = kfdb_mod.KFDatabase.empty(self.cfg.capacity.max_keyframes,
+                                       self.voc.n_words)
+        for k in range(t.n_kf_host):
+            if not bool(m.kf_valid[k]):
+                continue
+            bv = voc_mod.transform(self.voc, m.kf_kp_desc[k],
+                                   m.kf_kp_valid[k])
+            db = kfdb_mod.add(db, k,
+                              voc_mod.bow_histogram(bv, self.voc.n_words))
+        self.loop.db = db
+
     def activate_localization_mode(self):
         """Track-only mode (ref System.h:87)."""
         self.tracker.localization_only = True

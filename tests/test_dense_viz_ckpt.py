@@ -121,11 +121,9 @@ def test_checkpoint_resume_continues_tracking():
     """Save the map mid-sequence, rebuild a fresh System from the
     checkpoint, and keep tracking (the reference's SaveMap/LoadMap is an
     unimplemented TODO — System.h:122-124)."""
-    import jax.numpy as jnp
     import tempfile, os
     from slam_dynamic_tpu.io.synthetic import SynthConfig as SC, generate
     from slam_dynamic_tpu.io.evo import ate_rmse
-    from slam_dynamic_tpu.worldmap.checkpoint import save_map, load_map
     from tests.test_e2e_slam import make_system
 
     scfg = SC(n_frames=20, width=320, height=240, fx=260.0, fy=260.0,
@@ -136,24 +134,12 @@ def test_checkpoint_resume_continues_tracking():
         sys_.track_rgbd(seq.gray[i], seq.depth[i], float(seq.timestamps[i]))
     with tempfile.TemporaryDirectory() as d:
         p = os.path.join(d, "map.npz")
-        save_map(p, sys_.tracker.map)
+        sys_.save_map(p)
 
         sys2 = make_system(scfg)
-        sys2.tracker.map = load_map(p)
-        sys2.tracker.n_kf_host = int(sys2.tracker.map.n_kf)
-        sys2.tracker.state = "LOST"      # no last frame: force relocalize
-        # rebuild the BoW database for relocalization from the map
-        sys2.tracker.last_kf_id = sys2.tracker.n_kf_host - 1
-        sys2._ensure_voc()
-        from slam_dynamic_tpu.models import vocabulary as voc_mod
-        from slam_dynamic_tpu.worldmap import kfdb as kfdb_mod
-        m = sys2.tracker.map
-        for k in range(int(m.n_kf)):
-            bv = voc_mod.transform(sys2.voc, m.kf_kp_desc[k],
-                                   m.kf_kp_valid[k])
-            sys2.loop.db = kfdb_mod.add(
-                sys2.loop.db, k,
-                voc_mod.bow_histogram(bv, sys2.voc.n_words))
+        sys2.load_map(p)
+        assert sys2.tracker.state == "LOST"
+        assert sys2.tracker.n_kf_host == sys_.tracker.n_kf_host
         states = []
         for i in range(10, 20):
             st = sys2.track_rgbd(seq.gray[i], seq.depth[i],
