@@ -138,3 +138,51 @@ def test_local_ba_improves_not_destroys_fixed(rng):
     # fixed pose untouched
     np.testing.assert_allclose(np.asarray(res.kf_t)[0], ts_gt[0], atol=1e-6)
     np.testing.assert_allclose(np.asarray(res.kf_R)[0], Rs_gt[0], atol=1e-5)
+
+
+def test_checkify_flags_nan_and_clean_pass():
+    """SURVEY 5.2 rebuild: checkify path catches NaNs inside jitted
+    optimizer stages (the reference has no sanitizer story)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import checkify
+    import pytest
+    from slam_dynamic_tpu.utils import debug
+
+    @jax.jit
+    def bad(x):
+        return jnp.sqrt(x) * 2.0          # NaN for x < 0
+
+    wrapped = debug.checked(bad)
+    assert float(wrapped(jnp.asarray(4.0))) == 4.0
+    with pytest.raises(checkify.JaxRuntimeError):
+        wrapped(jnp.asarray(-1.0))
+
+
+def test_checkify_pose_opt_clean_and_finite_tree():
+    """optimize_pose under checkify: no NaNs on a well-posed problem;
+    check_finite_tree flags an injected NaN."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+    from slam_dynamic_tpu.utils import debug
+    from slam_dynamic_tpu.utils.camera import Intrinsics
+    from slam_dynamic_tpu.optim.pose_opt import optimize_pose
+
+    cam = Intrinsics.create(fx=260.0, fy=260.0, cx=159.5, cy=119.5,
+                            width=320, height=240)
+    rs = np.random.default_rng(0)
+    xw = rs.uniform([-2, -2, 2], [2, 2, 6], (64, 3)).astype(np.float32)
+    uv = np.stack([cam.fx * xw[:, 0] / xw[:, 2] + cam.cx,
+                   cam.fy * xw[:, 1] / xw[:, 2] + cam.cy], -1)
+    fn = debug.checked(
+        lambda: optimize_pose(cam, jnp.eye(3), jnp.zeros(3),
+                              jnp.asarray(xw), jnp.asarray(uv),
+                              jnp.ones(64), jnp.ones(64, bool),
+                              stereo=False, rounds=2, iters=5))
+    res = fn()          # raises if any NaN appears inside the solve
+    assert int(res.inliers.sum()) == 64
+    debug.check_finite_tree(res, "pose result")
+    poisoned = res._replace(t=res.t.at[0].set(jnp.nan))
+    with pytest.raises(FloatingPointError, match="pose"):
+        debug.check_finite_tree(poisoned, "pose result")
