@@ -85,7 +85,15 @@ def build_frame(cfg: SystemConfig, cam: Intrinsics, gray: np.ndarray,
 
     mask: optional [H, W] bool dynamic-pixel mask (True = dynamic), the
     RGB-D/Mask-R-CNN path of the reference (Frame.cc:297-403).
+
+    Accepts camera-native dtypes: uint8 gray and uint16 depth (raw TUM
+    units, converted via cfg.camera.depth_map_factor); the fused device
+    path (frontend/fused.py) makes the same conversion on device.
     """
+    if depth_map is not None and \
+            np.asarray(depth_map).dtype == np.uint16:
+        depth_map = np.asarray(depth_map).astype(np.float32) \
+            / max(cfg.camera.depth_map_factor, 1e-9)
     h, w = gray.shape
     img = jnp.asarray(gray, jnp.float32)
     kp: Keypoints = extract(img, cfg.orb, h, w)

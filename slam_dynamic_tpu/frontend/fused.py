@@ -50,8 +50,21 @@ class FusedOut(NamedTuple):
 def build_frame_data(cam: Intrinsics, image, aux, boxes, box_active,
                      orb_cfg: ORBConfig, height: int, width: int,
                      scale_factor, sensor: str,
-                     n_slots: int = 0) -> FrameData:
-    """Device-side frame construction (all sensors)."""
+                     n_slots: int = 0, depth_scale=None) -> FrameData:
+    """Device-side frame construction (all sensors).
+
+    `image`/`aux` may arrive in camera-native dtypes (uint8 gray, uint16
+    depth) — casting happens here ON DEVICE so the host->device transfer
+    carries 1/4 (gray) and 1/2 (depth) of the float32 bytes. `depth_scale`
+    converts raw depth units to metres (TUM: 1/5000); None/1.0 = already
+    metres."""
+    image = image.astype(jnp.float32)
+    if sensor == "rgbd":
+        aux = aux.astype(jnp.float32)
+        if depth_scale is not None:
+            aux = aux * depth_scale
+    elif sensor == "stereo":
+        aux = aux.astype(jnp.float32)
     kp = _extract_impl(image, orb_cfg, height, width)
     xy = undistort_points(cam, kp.xy)
     scale = scale_factor ** kp.level.astype(jnp.float32)
@@ -209,13 +222,14 @@ def fused_track_step(
         mm_radius, local_radius, depth_th, scale_factor,
         min_inliers_track,
         sensor: str = "rgbd", max_kf: int = 16, max_lm: int = 4096,
-        n_levels: int = 8, n_slots: int = 0) -> FusedOut:
+        n_levels: int = 8, n_slots: int = 0,
+        depth_scale=None) -> FusedOut:
     """aux = depth map (rgbd), right image (stereo), or ignored (mono).
     Motion-model prediction happens inside (R_prev2/t_prev2 = pose two
     frames back; has_vel 0/1 scalar)."""
     fd = build_frame_data(cam, image, aux, boxes, box_active, orb_cfg,
                           height, width, scale_factor, sensor,
-                          n_slots=n_slots)
+                          n_slots=n_slots, depth_scale=depth_scale)
     stereo = sensor in ("rgbd", "stereo")
     R_pred, t_pred = _predict_inside(R_last, t_last, R_prev2, t_prev2,
                                      has_vel)
@@ -252,7 +266,8 @@ def fused_track_step_dyn(
         mm_radius, local_radius, depth_th, scale_factor,
         min_inliers_track, seed,
         sensor: str = "rgbd", max_kf: int = 16, max_lm: int = 4096,
-        n_levels: int = 8, n_slots: int = 0, n_hyp: int = 256):
+        n_levels: int = 8, n_slots: int = 0, n_hyp: int = 256,
+        depth_scale=None):
     """Dynamic-scene variant: frame build + H/F box classification +
     feature reinstatement + tracking, still ONE device call.
 
@@ -265,7 +280,7 @@ def fused_track_step_dyn(
     fd = build_frame_data(cam, image, aux, boxes,
                           box_active & (box_status != 1), orb_cfg,
                           height, width, scale_factor, sensor,
-                          n_slots=n_slots)
+                          n_slots=n_slots, depth_scale=depth_scale)
     # geometric reclassification vs the reference frame (when available)
     v = classify_boxes(cam, ref_fd, fd, boxes, box_active, n_hyp=n_hyp,
                        seed=seed)

@@ -72,7 +72,10 @@ class Tracker:
         self._dev_consts = None
         self._prev2_pose = None
         self._zero_aux_cache = None
-        self._pending = None   # pipelined mode: (frame, out) awaiting readback
+        import collections
+        # pipelined mode: FIFO of (frame, out) awaiting readback, at most
+        # cfg.tracking.pipeline_depth deep
+        self._pending = collections.deque()
         # localization-only mode: track against the existing map, create no
         # keyframes (ref System::ActivateLocalizationMode, System.h:87-89)
         self.localization_only = False
@@ -121,8 +124,16 @@ class Tracker:
         else:
             R_prev2, t_prev2 = prev2
             has_vel = dc["vel1"]
-        aux_arr = jnp.asarray(aux, jnp.float32) if aux is not None else \
-            self._zero_aux(gray.shape)
+        # camera-native dtypes (uint8 gray / uint16 depth) go up as-is and
+        # are cast on device: 1/4 resp. 1/2 the h2d bytes of float32
+        g_arr = jnp.asarray(gray)
+        depth_scale = None
+        if aux is not None:
+            aux_arr = jnp.asarray(aux)
+            if cfg.sensor == "rgbd" and aux_arr.dtype == jnp.uint16:
+                depth_scale = dc["depth_scale"]
+        else:
+            aux_arr = self._zero_aux(gray.shape)
         common = dict(
             orb_cfg=cfg.orb, height=gray.shape[0], width=gray.shape[1],
             mm_radius=dc["mm_radius"], local_radius=dc["local_radius"],
@@ -135,32 +146,35 @@ class Tracker:
         if dyn is None:
             out = fused_track_step(
                 self.map, self.cam, self.bounds,
-                jnp.asarray(gray, jnp.float32), aux_arr, bx, ba, last_ids,
-                R_last, t_last, R_prev2, t_prev2, has_vel, **common)
+                g_arr, aux_arr, bx, ba, last_ids,
+                R_last, t_last, R_prev2, t_prev2, has_vel,
+                depth_scale=depth_scale, **common)
         else:
             from .fused import fused_track_step_dyn
             out = fused_track_step_dyn(
                 self.map, self.cam, self.bounds,
-                jnp.asarray(gray, jnp.float32), aux_arr, bx, ba,
+                g_arr, aux_arr, bx, ba,
                 dyn["box_status"], dyn["ref_fd"], dyn["have_ref"],
                 last_ids, R_last, t_last, R_prev2, t_prev2, has_vel,
-                seed=dyn["seed"], **common)
+                seed=dyn["seed"], depth_scale=depth_scale, **common)
         self._prev2_pose = (R_last, t_last)
         frame = Frame(data=out.fd, frame_id=frame_id, timestamp=timestamp,
                       boxes=boxes)
 
         if cfg.tracking.pipeline_depth > 0 and dyn is None:
-            # 1-deep pipeline: finalize the PREVIOUS frame while this one
-            # computes on device (overlaps the ~100ms readback latency with
-            # compute; state-machine decisions lag one frame — the same lag
-            # the reference's async LocalMapping thread has)
+            # N-deep pipeline: finalize the oldest in-flight frame(s) while
+            # this one computes on device (overlaps the readback latency
+            # with compute; state-machine decisions lag N frames — depth 1
+            # is the same lag the reference's async LocalMapping thread has)
             frame.R, frame.t = out.R, out.t        # device handles for next
             frame.obs_lm = out.obs_lm
             # note: copy_to_host_async() on the packet was tried here and
             # REGRESSED throughput on the axon tunnel (11.7 -> 8.9 fps);
-            # the blocking readback in _finalize_pending is faster.
-            st_prev = self._finalize_pending()
-            self._pending = (frame, out)
+            # the blocking readback in _finalize_one is faster.
+            st_prev = None
+            while len(self._pending) >= cfg.tracking.pipeline_depth:
+                st_prev = self._finalize_one()
+            self._pending.append((frame, out))
             self.last_frame = frame                # next dispatch chains here
             return st_prev if st_prev is not None else TrackStats("OK")
 
@@ -172,19 +186,22 @@ class Tracker:
         return st
 
     # ------------------------------------------------------------------
-    def _finalize_pending(self):
-        """Pipelined mode: read back + bookkeep the deferred frame."""
-        pending = self._pending
-        self._pending = None
-        if pending is None:
-            return None
-        frame, out = pending
+    def _finalize_one(self):
+        """Pipelined mode: read back + bookkeep the OLDEST deferred frame."""
+        frame, out = self._pending.popleft()
         saved_last = self.last_frame
         st = self._post_track(frame, out)
         # _post_track may set state/insert KF; bookkeeping must see the
         # frame BEFORE the currently-dispatched one as "last"
         self._bookkeep_pipelined(frame)
         self.last_frame = saved_last
+        return st
+
+    def _finalize_pending(self):
+        """Drain ALL in-flight frames (mode switch / trajectory read)."""
+        st = None
+        while self._pending:
+            st = self._finalize_one()
         return st
 
     def _bookkeep_pipelined(self, frame: Frame):
@@ -411,6 +428,7 @@ class Tracker:
         self._init_ref = None
         self._prev2_pose = None
         self.n_kf_host = 0
+        self._pending.clear()
 
     # ------------------------------------------------------------------
     def _predict_pose(self):
@@ -461,6 +479,8 @@ class Tracker:
                 "vel1": jnp.float32(1.0),
                 "no_obs": jnp.full(cfg.capacity.max_keypoints, -1,
                                    jnp.int32),
+                "depth_scale": jnp.float32(
+                    1.0 / max(cfg.camera.depth_map_factor, 1e-9)),
             }
         return self._dev_consts
 

@@ -233,6 +233,7 @@ class System:
         from .worldmap import kfdb as kfdb_mod
         m = _load(path)
         t = self.tracker
+        t.flush()              # drain any in-flight pipelined frames
         t.map = m
         t.n_kf_host = int(m.n_kf)
         t.last_kf_id = t.n_kf_host - 1

@@ -115,7 +115,7 @@ def test_pipelined_mode_matches_sync():
                        fy=260.0, cx=159.5, cy=119.5)
     seq = generate(scfg)
     ates = {}
-    for depth in (0, 1):
+    for depth in (0, 1, 2):
         sys_ = make_system(scfg)
         tr = dataclasses.replace(sys_.cfg.tracking, pipeline_depth=depth)
         sys_.cfg = sys_.cfg.replace(tracking=tr)
@@ -129,3 +129,27 @@ def test_pipelined_mode_matches_sync():
         ates[depth] = ate_rmse(est, seq.t_wc[:20])
     assert ates[1] < 0.03, ates
     assert ates[1] < ates[0] * 3 + 0.01
+    assert ates[2] < 0.04, ates    # decisions lag 2 frames
+
+
+def test_native_dtypes_match_float_path():
+    """uint8 gray + uint16 mm depth (camera-native, converted on device —
+    fused.py build_frame_data) track as well as the float32 path."""
+    import dataclasses
+    scfg = SynthConfig(n_frames=12, width=320, height=240, fx=260.0,
+                       fy=260.0, cx=159.5, cy=119.5)
+    seq = generate(scfg)
+    sys_ = make_system(scfg)
+    sys_.cfg = sys_.cfg.replace(camera=dataclasses.replace(
+        sys_.cfg.camera, depth_map_factor=1000.0))
+    sys_.tracker.cfg = sys_.cfg
+    gray8 = np.clip(seq.gray, 0, 255).astype(np.uint8)
+    depth16 = np.clip(seq.depth * 1000.0, 0, 65535).astype(np.uint16)
+    for i in range(12):
+        st = sys_.track_rgbd(gray8[i], depth16[i],
+                             float(seq.timestamps[i]))
+        assert st.state == "OK", (i, st.state)
+    traj = sys_.trajectory
+    est = np.stack([-R.T @ t for _, R, t in traj])
+    ate = ate_rmse(est, seq.t_wc[:len(est)])
+    assert ate < 0.02, f"native-dtype ATE {ate}"
