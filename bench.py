@@ -36,6 +36,9 @@ def main():
                          "measured +23%% fps at ~2mm ATE cost)")
     ap.add_argument("--pipeline-depth", type=int, default=1,
                     help="in-flight frames when --pipeline (default 1)")
+    ap.add_argument("--depth-stride", type=int, default=1,
+                    help="upload every Nth depth pixel (device samples "
+                         "keypoints at the low-res pixel)")
     args = ap.parse_args()
 
     import jax
@@ -83,10 +86,13 @@ def main():
                                 max_keypoints=nkp, local_ba_keyframes=8,
                                 local_ba_landmarks=2048),
         sensor="rgbd")
+    import dataclasses
     if args.pipeline:
-        import dataclasses
         cfg = cfg.replace(tracking=dataclasses.replace(
             cfg.tracking, pipeline_depth=args.pipeline_depth))
+    if args.depth_stride > 1:
+        cfg = cfg.replace(tracking=dataclasses.replace(
+            cfg.tracking, depth_stride=args.depth_stride))
     # warmup on a THROWAWAY system with forced keyframe cadence so every
     # jit unit (fused step, mapping stage, loop-closer BoW) compiles before
     # the timed window — first-compiles through the tunnel take minutes and

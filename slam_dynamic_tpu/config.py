@@ -84,6 +84,10 @@ class TrackingConfig:
     pipeline_depth: int = 0                # 1 = overlap the packed readback
     # of frame t with the dispatch of frame t+1 (decisions lag one frame,
     # like the reference's async LocalMapping thread); 0 = synchronous
+    depth_stride: int = 1                  # upload every Nth depth pixel
+    # (rgbd fused path): depth is only sampled at keypoints, so stride 2
+    # quarters the depth h2d bytes for ~nearest-pixel sampling error;
+    # 1 = full resolution
     ref_frame_age_s: float = 0.2           # ref :623
     frame_queue_factor: float = 0.3        # queue cap 0.3*fps, ref :954
     dyn_confirm_frames: int = 2            # 2 consecutive dyn frames, ref :1213

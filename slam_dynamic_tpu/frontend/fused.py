@@ -50,7 +50,8 @@ class FusedOut(NamedTuple):
 def build_frame_data(cam: Intrinsics, image, aux, boxes, box_active,
                      orb_cfg: ORBConfig, height: int, width: int,
                      scale_factor, sensor: str,
-                     n_slots: int = 0, depth_scale=None) -> FrameData:
+                     n_slots: int = 0, depth_scale=None,
+                     depth_stride: int = 1) -> FrameData:
     """Device-side frame construction (all sensors).
 
     `image`/`aux` may arrive in camera-native dtypes (uint8 gray, uint16
@@ -69,8 +70,22 @@ def build_frame_data(cam: Intrinsics, image, aux, boxes, box_active,
     xy = undistort_points(cam, kp.xy)
     scale = scale_factor ** kp.level.astype(jnp.float32)
     if sensor == "rgbd":
-        sm = depth_from_rgbd(aux, kp.xy, kp.valid, cam.bf)
-        ur, depth = sm.u_right, sm.depth
+        if depth_stride > 1:
+            # strided depth upload: sample at the keypoint's low-res
+            # pixel, but keep u_right in FULL-res pixel units
+            hs, ws = aux.shape
+            xi = jnp.clip(jnp.round(kp.xy[:, 0] / depth_stride)
+                          .astype(jnp.int32), 0, ws - 1)
+            yi = jnp.clip(jnp.round(kp.xy[:, 1] / depth_stride)
+                          .astype(jnp.int32), 0, hs - 1)
+            d = aux[yi, xi]
+            ok = kp.valid & (d > 0)
+            ur = jnp.where(ok, kp.xy[:, 0]
+                           - cam.bf / jnp.where(d <= 0, 1.0, d), -1.0)
+            depth = jnp.where(ok, d, -1.0)
+        else:
+            sm = depth_from_rgbd(aux, kp.xy, kp.valid, cam.bf)
+            ur, depth = sm.u_right, sm.depth
     elif sensor == "stereo":
         kp_r = _extract_impl(aux, orb_cfg, height, width)
         scale_r = scale_factor ** kp_r.level.astype(jnp.float32)
@@ -213,7 +228,8 @@ def _track_stages(m: MapState, cam, bounds, fd: FrameData, last_obs_lm,
 @functools.partial(
     jax.jit,
     static_argnames=("orb_cfg", "height", "width", "sensor",
-                     "max_kf", "max_lm", "n_levels", "n_slots"))
+                     "max_kf", "max_lm", "n_levels", "n_slots",
+                     "depth_stride"))
 def fused_track_step(
         m: MapState, cam: Intrinsics, bounds, image, aux,
         boxes, box_active,
@@ -223,13 +239,14 @@ def fused_track_step(
         min_inliers_track,
         sensor: str = "rgbd", max_kf: int = 16, max_lm: int = 4096,
         n_levels: int = 8, n_slots: int = 0,
-        depth_scale=None) -> FusedOut:
+        depth_scale=None, depth_stride: int = 1) -> FusedOut:
     """aux = depth map (rgbd), right image (stereo), or ignored (mono).
     Motion-model prediction happens inside (R_prev2/t_prev2 = pose two
     frames back; has_vel 0/1 scalar)."""
     fd = build_frame_data(cam, image, aux, boxes, box_active, orb_cfg,
                           height, width, scale_factor, sensor,
-                          n_slots=n_slots, depth_scale=depth_scale)
+                          n_slots=n_slots, depth_scale=depth_scale,
+                          depth_stride=depth_stride)
     stereo = sensor in ("rgbd", "stereo")
     R_pred, t_pred = _predict_inside(R_last, t_last, R_prev2, t_prev2,
                                      has_vel)
@@ -257,7 +274,8 @@ def fused_track_prebuilt(
 @functools.partial(
     jax.jit,
     static_argnames=("orb_cfg", "height", "width", "sensor",
-                     "max_kf", "max_lm", "n_levels", "n_slots", "n_hyp"))
+                     "max_kf", "max_lm", "n_levels", "n_slots", "n_hyp",
+                     "depth_stride"))
 def fused_track_step_dyn(
         m: MapState, cam: Intrinsics, bounds, image, aux,
         boxes, box_active, box_status, ref_fd: FrameData, have_ref,
@@ -267,7 +285,7 @@ def fused_track_step_dyn(
         min_inliers_track, seed,
         sensor: str = "rgbd", max_kf: int = 16, max_lm: int = 4096,
         n_levels: int = 8, n_slots: int = 0, n_hyp: int = 256,
-        depth_scale=None):
+        depth_scale=None, depth_stride: int = 1):
     """Dynamic-scene variant: frame build + H/F box classification +
     feature reinstatement + tracking, still ONE device call.
 
@@ -280,7 +298,8 @@ def fused_track_step_dyn(
     fd = build_frame_data(cam, image, aux, boxes,
                           box_active & (box_status != 1), orb_cfg,
                           height, width, scale_factor, sensor,
-                          n_slots=n_slots, depth_scale=depth_scale)
+                          n_slots=n_slots, depth_scale=depth_scale,
+                          depth_stride=depth_stride)
     # geometric reclassification vs the reference frame (when available)
     v = classify_boxes(cam, ref_fd, fd, boxes, box_active, n_hyp=n_hyp,
                        seed=seed)

@@ -128,7 +128,10 @@ class Tracker:
         # are cast on device: 1/4 resp. 1/2 the h2d bytes of float32
         g_arr = jnp.asarray(gray)
         depth_scale = None
+        ds = cfg.tracking.depth_stride
         if aux is not None:
+            if cfg.sensor == "rgbd" and ds > 1:
+                aux = np.ascontiguousarray(aux[::ds, ::ds])
             aux_arr = jnp.asarray(aux)
             if cfg.sensor == "rgbd" and aux_arr.dtype == jnp.uint16:
                 depth_scale = dc["depth_scale"]
@@ -142,7 +145,8 @@ class Tracker:
             sensor=cfg.sensor, max_kf=cfg.capacity.local_ba_keyframes,
             max_lm=cfg.capacity.local_ba_landmarks,
             n_levels=cfg.orb.n_levels,
-            n_slots=cfg.capacity.max_keypoints)
+            n_slots=cfg.capacity.max_keypoints,
+            depth_stride=(ds if cfg.sensor == "rgbd" else 1))
         if dyn is None:
             out = fused_track_step(
                 self.map, self.cam, self.bounds,

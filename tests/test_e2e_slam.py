@@ -132,16 +132,22 @@ def test_pipelined_mode_matches_sync():
     assert ates[2] < 0.04, ates    # decisions lag 2 frames
 
 
-def test_native_dtypes_match_float_path():
+@pytest.mark.parametrize("stride", [1, 2])
+def test_native_dtypes_match_float_path(stride):
     """uint8 gray + uint16 mm depth (camera-native, converted on device —
-    fused.py build_frame_data) track as well as the float32 path."""
+    fused.py build_frame_data) track as well as the float32 path; with
+    depth_stride=2 the depth upload is quartered (sampled at the
+    keypoint's low-res pixel) at negligible ATE cost."""
     import dataclasses
     scfg = SynthConfig(n_frames=12, width=320, height=240, fx=260.0,
                        fy=260.0, cx=159.5, cy=119.5)
     seq = generate(scfg)
     sys_ = make_system(scfg)
-    sys_.cfg = sys_.cfg.replace(camera=dataclasses.replace(
-        sys_.cfg.camera, depth_map_factor=1000.0))
+    sys_.cfg = sys_.cfg.replace(
+        camera=dataclasses.replace(sys_.cfg.camera,
+                                   depth_map_factor=1000.0),
+        tracking=dataclasses.replace(sys_.cfg.tracking,
+                                     depth_stride=stride))
     sys_.tracker.cfg = sys_.cfg
     gray8 = np.clip(seq.gray, 0, 255).astype(np.uint8)
     depth16 = np.clip(seq.depth * 1000.0, 0, 65535).astype(np.uint16)
