@@ -96,3 +96,9 @@ class DenseMapper:
         pts, inten = self.global_cloud()
         pc.save_ply(path, pts, inten)
         return len(pts)
+
+    def save_pcd(self, path: str):
+        """PCL-compatible export (ref pointcloudmapping.cc:161-166)."""
+        pts, inten = self.global_cloud()
+        pc.save_pcd(path, pts, inten)
+        return len(pts)

@@ -45,6 +45,10 @@ class TrackStats:
     n_inliers_map: int = 0
     is_keyframe: bool = False
     verdicts: object = None   # [B] box verdicts (dynamic pipeline)
+    frame_id: int = -1        # id of the FINALIZED frame (lags the input
+    #                           frame by pipeline_depth in pipelined mode)
+    np_R: object = None       # finalized camera pose (host numpy)
+    np_t: object = None
 
 
 class Tracker:
@@ -321,7 +325,8 @@ class Tracker:
         self.last_kf_inliers = n
         if self.on_keyframe:
             self.on_keyframe(k)
-        return TrackStats("OK", is_keyframe=True)
+        return TrackStats("OK", is_keyframe=True, frame_id=frame.frame_id,
+                          np_R=np.asarray(frame.R), np_t=np.asarray(frame.t))
 
     # ------------------------------------------------------------------
     def _initialize_mono(self, frame: Frame) -> TrackStats:
@@ -394,7 +399,8 @@ class Tracker:
         if self.on_keyframe:
             self.on_keyframe(0)
             self.on_keyframe(1)
-        return TrackStats("OK", is_keyframe=True)
+        return TrackStats("OK", is_keyframe=True, frame_id=frame.frame_id,
+                          np_R=np.asarray(frame.R), np_t=np.asarray(frame.t))
 
     # ------------------------------------------------------------------
     def _relocalize_then_track(self, frame: Frame) -> TrackStats:
@@ -507,7 +513,8 @@ class Tracker:
             frame.R, frame.t = out.R, out.t
             frame.np_R, frame.np_t = np_R, np_t
             frame.obs_lm = out.obs_lm
-            return TrackStats("LOST", n_inliers_mm=n_mm, n_inliers_map=n_map)
+            return TrackStats("LOST", n_inliers_mm=n_mm, n_inliers_map=n_map,
+                              frame_id=frame.frame_id)
 
         frame.R, frame.t = out.R, out.t
         frame.np_R, frame.np_t = np_R, np_t
@@ -515,7 +522,8 @@ class Tracker:
         self.state = "OK"
         self.frames_since_kf += 1
 
-        st = TrackStats("OK", n_inliers_mm=n_mm, n_inliers_map=n_map)
+        st = TrackStats("OK", n_inliers_mm=n_mm, n_inliers_map=n_map,
+                        frame_id=frame.frame_id, np_R=np_R, np_t=np_t)
         if not self.localization_only and \
                 self._need_keyframe_counts(n_map, close_bound,
                                            close_unbound):

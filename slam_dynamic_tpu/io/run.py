@@ -89,6 +89,10 @@ def main(argv=None):
 
     from ..system import System
     cfg = build_config(args)
+    if args.ply and args.sensor == "rgbd":
+        import dataclasses
+        cfg = cfg.replace(pointcloud=dataclasses.replace(
+            cfg.pointcloud, enabled=True))
     data = make_dataset(args, cfg)
     sys_ = System(cfg)
     if args.load_map:
@@ -96,11 +100,6 @@ def main(argv=None):
         print(json.dumps({"loaded_map": args.load_map,
                           "keyframes": int(sys_.tracker.map.n_kf),
                           "state": sys_.tracker.state}))
-
-    dense = None
-    if args.ply and args.sensor == "rgbd":
-        from ..backend.dense_map import DenseMapper
-        dense = DenseMapper(cfg, sys_.cam)
 
     os.makedirs(args.out, exist_ok=True)
     times = []
@@ -119,19 +118,15 @@ def main(argv=None):
             st = sys_.track_mono(pkt.gray, pkt.timestamp)
         times.append(time.time() - t0)
         n_lost += st.state != "OK"
-        if dense is not None and st.is_keyframe and st.state == "OK":
-            fr = sys_.tracker.last_frame
-            dense.insert_keyframe(
-                pkt.gray, pkt.depth, np.asarray(fr.R), np.asarray(fr.t),
-                dyn_mask=pkt.mask)
 
     sys_.save_trajectory_tum(os.path.join(args.out, "FrameTrajectory.txt"))
     sys_.save_trajectory_kitti(os.path.join(args.out,
                                             "CameraTrajectory_kitti.txt"))
     sys_.save_keyframe_trajectory_tum(
         os.path.join(args.out, "KeyFrameTrajectory.txt"))
-    if dense is not None:
-        dense.save_ply(os.path.join(args.out, "map.ply"))
+    if sys_.dense is not None:
+        sys_.save_dense_ply(os.path.join(args.out, "map.ply"))
+        sys_.save_pcd(os.path.join(args.out, "map.pcd"))
     if args.save_map:
         sys_.save_map(args.save_map)
     # timing stats as the reference drivers print (stereo_kitti.cc:161-170)

@@ -47,6 +47,13 @@ class System:
             self.voc = voc_mod.load(cfg.vocabulary.path)
         self.tracker.on_keyframe = self._on_keyframe
         self.tracker.relocalizer = self._relocalize
+        # dense point-cloud mapping owned by the System, as the reference's
+        # PointCloudMapping is (System.cc:84-85, SavePCD :430)
+        self.dense = None
+        self._recent_frames = {}       # frame_id -> (gray, depth, mask)
+        if cfg.pointcloud.enabled and cfg.sensor == "rgbd":
+            from .backend.dense_map import DenseMapper
+            self.dense = DenseMapper(cfg, self.cam)
 
     # ------------------------------------------------------------------
     def _ensure_voc(self):
@@ -113,17 +120,23 @@ class System:
                 # inside the fused step via dyn["box_status"]
                 boxes = self.boxes.boxes
                 bvalid = np.ones(len(boxes), bool)
+            if self.dense is not None:
+                self._cache_frame(self.frame_id, gray, depth, None)
             st = self.tracker.step_images(
                 gray, depth, boxes, bvalid, self.frame_id, timestamp,
                 dyn=dyn)
             self._dyn_after(st, timestamp)
+            self._dense_after(st)
             self.frame_id += 1
             return st
         frame = build_frame(self.cfg, self.cam, gray, self.frame_id,
                             timestamp, depth_map=depth, boxes=boxes,
                             box_valid=bvalid, mask=mask)
         frame.box_ids = self.boxes.ids.copy() if boxes is not None else None
+        if self.dense is not None:
+            self._cache_frame(self.frame_id, gray, depth, mask)
         st = self._track_common(frame)
+        self._dense_after(st)
         return st
 
     def track_stereo(self, left: np.ndarray, right: np.ndarray,
@@ -207,6 +220,55 @@ class System:
         traj_io.save_tum(path, kf_traj)
 
     # ------------------------------------------------------------------
+    def _cache_frame(self, frame_id: int, gray, depth, mask):
+        """Keep recent frames' pixels for deferred dense-KF insertion (the
+        finalized stats lag by pipeline_depth in pipelined mode)."""
+        self._recent_frames[frame_id] = (gray, depth, mask)
+        for k in list(self._recent_frames):
+            if k < frame_id - 4:
+                del self._recent_frames[k]
+
+    def _dense_after(self, st: TrackStats):
+        """Insert the finalized keyframe into the dense map (the
+        reference's PointCloudMapping::insertKeyFrame hand-off,
+        Tracking.cc:2000-2007: dynamic boxes excluded from the cloud)."""
+        if self.dense is None or not st.is_keyframe or st.np_R is None:
+            return
+        cached = self._recent_frames.get(st.frame_id)
+        if cached is None:
+            return
+        gray, depth, mask = cached
+        depth = np.asarray(depth)
+        if depth.dtype == np.uint16:
+            depth = depth.astype(np.float32) \
+                / max(self.cfg.camera.depth_map_factor, 1e-9)
+        boxes = box_ids = box_dyn = None
+        if len(self.boxes.boxes):
+            boxes = self.boxes.boxes
+            box_ids = self.boxes.ids
+            box_dyn = self.boxes.status == 2
+        self.dense.insert_keyframe(
+            np.asarray(gray, np.float32), depth, st.np_R, st.np_t,
+            dyn_mask=mask, boxes=boxes, box_ids=box_ids,
+            box_dynamic=box_dyn)
+
+    def save_pcd(self, path: str) -> int:
+        """Dense-cloud export (ref System::SavePCD, System.cc:430).
+        Requires cfg.pointcloud.enabled; returns the point count."""
+        if self.dense is None:
+            raise RuntimeError("pointcloud.enabled is off (or sensor is "
+                               "not rgbd); no dense map to save")
+        self.tracker.flush()
+        return self.dense.save_pcd(path)
+
+    def save_dense_ply(self, path: str) -> int:
+        if self.dense is None:
+            raise RuntimeError("pointcloud.enabled is off (or sensor is "
+                               "not rgbd); no dense map to save")
+        self.tracker.flush()
+        return self.dense.save_ply(path)
+
+    # ------------------------------------------------------------------
     def save_map(self, path: str):
         """Persist the sparse map to an .npz checkpoint.
 
@@ -264,5 +326,14 @@ class System:
         self.tracker = Tracker(self.cfg, self.cam,
                                stereo_obs=self.cfg.sensor in ("stereo",
                                                               "rgbd"))
+        self.tracker.on_keyframe = self._on_keyframe
+        self.tracker.relocalizer = self._relocalize
+        if self.loop is not None:
+            from .backend.loop_closing import LoopCloser
+            self.loop = LoopCloser(self.cfg, self.cam, self.voc)
         self.boxes = BoxTrackerState.empty()
         self.frame_id = 0
+        self._recent_frames = {}
+        if self.dense is not None:
+            from .backend.dense_map import DenseMapper
+            self.dense = DenseMapper(self.cfg, self.cam)

@@ -150,3 +150,44 @@ def test_checkpoint_resume_continues_tracking():
     idx0 = 20 - len(est)
     ate = ate_rmse(est, seq.t_wc[idx0:20])
     assert ate < 0.05, ate
+
+
+def test_system_owned_dense_map(tmp_path):
+    """System owns the dense mapper when pointcloud.enabled (ref System
+    owns PointCloudMapping, System.cc:84-85) and exports via save_pcd
+    (ref System::SavePCD :430) -- including in pipelined mode."""
+    import dataclasses
+    from slam_dynamic_tpu.config import (CameraConfig, ORBConfig,
+                                         DetectorConfig, CapacityConfig)
+    from slam_dynamic_tpu.system import System
+    scfg = SynthConfig(n_frames=10, width=320, height=240, fx=260.0,
+                       fy=260.0, cx=159.5, cy=119.5)
+    seq = generate(scfg)
+    cfg = SystemConfig(
+        camera=CameraConfig(fx=scfg.fx, fy=scfg.fy, cx=scfg.cx, cy=scfg.cy,
+                            bf=scfg.fx * scfg.baseline, width=scfg.width,
+                            height=scfg.height, th_depth=120.0),
+        orb=ORBConfig(n_features=600),
+        detector=DetectorConfig(mode="off"),
+        capacity=CapacityConfig(max_keyframes=32, max_landmarks=8192,
+                                max_keypoints=1024, local_ba_keyframes=8,
+                                local_ba_landmarks=2048),
+        pointcloud=PointCloudConfig(enabled=True, max_depth=20.0),
+        sensor="rgbd")
+    cfg = cfg.replace(tracking=dataclasses.replace(
+        cfg.tracking, pipeline_depth=1, max_frames_between_kf=4))
+    sys_ = System(cfg)
+    assert sys_.dense is not None
+    for i in range(10):
+        sys_.track_rgbd(seq.gray[i], seq.depth[i], float(seq.timestamps[i]))
+    n = sys_.save_pcd(str(tmp_path / "map.pcd"))
+    assert n > 2000
+    head = (tmp_path / "map.pcd").read_text().splitlines()[0]
+    assert head.startswith("#") or head.startswith("VERSION"), head
+    n2 = sys_.save_dense_ply(str(tmp_path / "map.ply"))
+    assert n2 == n
+    # mono/stereo or disabled -> clean error
+    import pytest as _pytest
+    sys2 = System(cfg.replace(pointcloud=PointCloudConfig(enabled=False)))
+    with _pytest.raises(RuntimeError, match="pointcloud"):
+        sys2.save_pcd(str(tmp_path / "x.pcd"))
