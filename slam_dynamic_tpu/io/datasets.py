@@ -103,9 +103,17 @@ class TumRGBD:
                 mp = os.path.join(self.masks_dir, f"mask_{i:06d}.png")
                 if os.path.exists(mp):
                     mask = _read_gray(mp) > 127
-            depth = np.asarray(next(dep_it), np.float32) / self.depth_factor
-            yield FramePacket(i, ts, np.asarray(next(rgb_it), np.float32),
-                              depth=depth, detections=det, mask=mask)
+            # camera-native dtypes end to end: uint8 gray + raw uint16
+            # depth go to the device unconverted (System scales by
+            # camera.depth_map_factor on device — frontend/fused.py)
+            dep = np.asarray(next(dep_it))
+            if dep.dtype != np.uint16:
+                dep = np.clip(dep, 0, 65535).astype(np.uint16)
+            gray = np.asarray(next(rgb_it))
+            if gray.dtype != np.uint8:
+                gray = np.clip(gray, 0, 255).astype(np.uint8)
+            yield FramePacket(i, ts, gray, depth=dep, detections=det,
+                              mask=mask)
 
     def groundtruth(self):
         from .trajectory import load_tum

@@ -45,9 +45,12 @@ def test_tum_loader_roundtrip(tum_dir):
     assert len(ds) == 5
     pkts = list(ds)
     assert len(pkts) == 5
+    assert pkts[0].gray.dtype == np.uint8       # camera-native passthrough
     np.testing.assert_allclose(pkts[0].gray,
                                seq.gray[0].astype(np.uint8), atol=1.0)
-    np.testing.assert_allclose(pkts[2].depth, seq.depth[2], atol=2e-4)
+    assert pkts[2].depth.dtype == np.uint16     # raw TUM units
+    np.testing.assert_allclose(pkts[2].depth.astype(np.float32) / 5000.0,
+                               seq.depth[2], atol=2e-4)
     ts, pos, quat = ds.groundtruth()
     assert len(ts) == 5
 
