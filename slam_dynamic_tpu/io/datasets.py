@@ -138,11 +138,14 @@ class KittiStereo:
             if self.boxes_dir:
                 from ..models.detector import load_precomputed_boxes
                 det = load_precomputed_boxes(self.boxes_dir, i)
+            # uint8 passthrough: cast to float happens on device
+            left = _read_gray(os.path.join(self.dir, "image_0",
+                                           f"{i:06d}.png"))
+            right = _read_gray(os.path.join(self.dir, "image_1",
+                                            f"{i:06d}.png"))
             yield FramePacket(
-                i, ts,
-                _read_gray(os.path.join(self.dir, "image_0", f"{i:06d}.png")),
-                right=_read_gray(os.path.join(self.dir, "image_1",
-                                              f"{i:06d}.png")),
+                i, ts, np.clip(left, 0, 255).astype(np.uint8),
+                right=np.clip(right, 0, 255).astype(np.uint8),
                 detections=det)
 
 
