@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--depth-stride", type=int, default=1,
                     help="upload every Nth depth pixel (device samples "
                          "keypoints at the low-res pixel)")
+    ap.add_argument("--stereo", action="store_true",
+                    help="bench the stereo pipeline (L/R extraction + "
+                         "row-band matching) instead of RGB-D")
     args = ap.parse_args()
 
     import jax
@@ -62,10 +65,11 @@ def main():
 
     if args.quick:
         scfg = SynthConfig(n_frames=12, width=320, height=240, fx=260.0,
-                           fy=260.0, cx=159.5, cy=119.5)
+                           fy=260.0, cx=159.5, cy=119.5,
+                           stereo=args.stereo)
         nfeat, nkp = 600, 1024
     else:
-        scfg = SynthConfig(n_frames=args.frames)
+        scfg = SynthConfig(n_frames=args.frames, stereo=args.stereo)
         nfeat, nkp = 1000, 2048
     seq = generate(scfg)
 
@@ -73,7 +77,10 @@ def main():
     # real RGB-D sensor emits) — h2d is 0.7MB/frame instead of 2.4MB;
     # conversion to float metres happens on device (frontend/fused.py)
     gray8 = np.clip(seq.gray, 0, 255).astype(np.uint8)
-    depth16 = np.clip(seq.depth * 1000.0, 0, 65535).astype(np.uint16)
+    if args.stereo:
+        aux8 = np.clip(seq.right, 0, 255).astype(np.uint8)
+    else:
+        aux8 = np.clip(seq.depth * 1000.0, 0, 65535).astype(np.uint16)
 
     cfg = SystemConfig(
         camera=CameraConfig(fx=scfg.fx, fy=scfg.fy, cx=scfg.cx, cy=scfg.cy,
@@ -85,7 +92,7 @@ def main():
         capacity=CapacityConfig(max_keyframes=128, max_landmarks=32768,
                                 max_keypoints=nkp, local_ba_keyframes=8,
                                 local_ba_landmarks=2048),
-        sensor="rgbd")
+        sensor="stereo" if args.stereo else "rgbd")
     import dataclasses
     if args.pipeline:
         cfg = cfg.replace(tracking=dataclasses.replace(
@@ -100,24 +107,29 @@ def main():
     import dataclasses
     warm_cfg = cfg.replace(tracking=dataclasses.replace(
         cfg.tracking, max_frames_between_kf=3))
+    def track(s, i):
+        if args.stereo:
+            return s.track_stereo(gray8[i], aux8[i],
+                                  float(seq.timestamps[i]))
+        return s.track_rgbd(gray8[i], aux8[i], float(seq.timestamps[i]))
+
     warm = System(warm_cfg)
     n_warm_frames = min(10, scfg.n_frames)
     for i in range(n_warm_frames):
-        warm.track_rgbd(gray8[i], depth16[i], float(seq.timestamps[i]))
+        track(warm, i)
     del warm
 
     sys_ = System(cfg)
     n_warm = min(2, scfg.n_frames)
     for i in range(n_warm):
-        sys_.track_rgbd(gray8[i], depth16[i], float(seq.timestamps[i]))
+        track(sys_, i)
 
     t0 = time.time()
     frame_times = []
     kf_frames = 0
     for i in range(n_warm, scfg.n_frames):
         f0 = time.time()
-        st = sys_.track_rgbd(gray8[i], depth16[i],
-                             float(seq.timestamps[i]))
+        st = track(sys_, i)
         frame_times.append(time.time() - f0)
         kf_frames += bool(st.is_keyframe)
     dt = time.time() - t0
@@ -139,7 +151,8 @@ def main():
                "value": round(ate, 5), "unit": "m",
                "vs_baseline": round(0.02 / max(ate, 1e-9), 3)}
     else:
-        out = {"metric": "tracked frames/s/chip (640x480 RGB-D, full SLAM)",
+        kind = "stereo" if args.stereo else "RGB-D"
+        out = {"metric": f"tracked frames/s/chip (640x480 {kind}, full SLAM)",
                "value": round(fps, 2), "unit": "fps",
                "vs_baseline": round(fps / 30.0, 3),
                "ate_m": round(ate, 5)}
