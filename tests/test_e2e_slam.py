@@ -159,3 +159,34 @@ def test_native_dtypes_match_float_path(stride):
     est = np.stack([-R.T @ t for _, R, t in traj])
     ate = ate_rmse(est, seq.t_wc[:len(est)])
     assert ate < 0.02, f"native-dtype ATE {ate}"
+
+
+def test_localization_only_mode():
+    """ActivateLocalizationMode (ref System.h:87-89): track-only against
+    the existing map, creating no keyframes; deactivating resumes
+    mapping."""
+    import dataclasses
+    scfg = SynthConfig(n_frames=24, width=320, height=240, fx=260.0,
+                       fy=260.0, cx=159.5, cy=119.5)
+    seq = generate(scfg)
+    sys_ = make_system(scfg)
+    # force a KF cadence that would certainly add KFs if mapping were on
+    sys_.cfg = sys_.cfg.replace(tracking=dataclasses.replace(
+        sys_.cfg.tracking, max_frames_between_kf=3))
+    sys_.tracker.cfg = sys_.cfg
+    for i in range(8):
+        sys_.track_rgbd(seq.gray[i], seq.depth[i], float(seq.timestamps[i]))
+    n_kf_before = sys_.tracker.n_kf_host
+    sys_.activate_localization_mode()
+    for i in range(8, 16):
+        st = sys_.track_rgbd(seq.gray[i], seq.depth[i],
+                             float(seq.timestamps[i]))
+        assert st.state == "OK"
+        assert not st.is_keyframe
+    assert sys_.tracker.n_kf_host == n_kf_before   # map frozen
+    sys_.deactivate_localization_mode()
+    for i in range(16, 24):
+        sys_.track_rgbd(seq.gray[i], seq.depth[i], float(seq.timestamps[i]))
+    assert sys_.tracker.n_kf_host > n_kf_before    # mapping resumed
+    est = np.stack([-R.T @ t for _, R, t in sys_.trajectory])
+    assert ate_rmse(est, seq.t_wc[:len(est)]) < 0.02
