@@ -81,6 +81,9 @@ def main(argv=None):
     ap.add_argument("--skip", type=int, default=0,
                     help="skip the first N frames (pair with --load-map to "
                          "resume mid-sequence)")
+    ap.add_argument("--log-frames", action="store_true",
+                    help="write per-frame metrics (state, inliers, ms) to "
+                         "<out>/frames.jsonl")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -102,6 +105,8 @@ def main(argv=None):
                           "state": sys_.tracker.state}))
 
     os.makedirs(args.out, exist_ok=True)
+    frame_log = open(os.path.join(args.out, "frames.jsonl"), "w") \
+        if args.log_frames else None
     times = []
     n_lost = 0
     for i, pkt in enumerate(data):
@@ -118,7 +123,17 @@ def main(argv=None):
             st = sys_.track_mono(pkt.gray, pkt.timestamp)
         times.append(time.time() - t0)
         n_lost += st.state != "OK"
+        if frame_log is not None:
+            # structured per-frame observability (the reference only has
+            # ad-hoc cout prints, SURVEY 5.5)
+            frame_log.write(json.dumps({
+                "i": i, "t": pkt.timestamp, "state": st.state,
+                "mm": st.n_inliers_mm, "map": st.n_inliers_map,
+                "kf": bool(st.is_keyframe),
+                "ms": round(times[-1] * 1e3, 2)}) + "\n")
 
+    if frame_log is not None:
+        frame_log.close()
     sys_.save_trajectory_tum(os.path.join(args.out, "FrameTrajectory.txt"))
     sys_.save_trajectory_kitti(os.path.join(args.out,
                                             "CameraTrajectory_kitti.txt"))
