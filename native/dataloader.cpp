@@ -133,11 +133,14 @@ void* slam_loader_open(const char** paths, int n, int n_threads,
   return L;
 }
 
-// Blocks until frame `emitted` is ready; copies into out (float32 for 8-bit,
-// raw u16 for 16-bit). Returns bitdepth, or 0 on end/error.
-// out must hold width*height*4 bytes.
-int slam_loader_next(void* handle, float* out_f32, uint16_t* out_u16,
-                     int* out_w, int* out_h) {
+// Blocks until frame `emitted` is ready; copies into out (camera-native
+// u8 for 8-bit, raw u16 for 16-bit). max_px is the caller's buffer
+// capacity in PIXELS — a larger frame is NOT copied (rc -2).
+// Returns: 8 or 16 (bitdepth) on success; 0 = end of stream;
+// -1 = this frame failed to decode (stream continues);
+// -2 = frame exceeds max_px (stream continues, frame dropped).
+int slam_loader_next(void* handle, uint8_t* out_u8, uint16_t* out_u16,
+                     int* out_w, int* out_h, long long max_px) {
   Loader* L = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lk(L->mu);
   if (L->emitted >= static_cast<int>(L->paths.size())) return 0;
@@ -156,14 +159,22 @@ int slam_loader_next(void* handle, float* out_f32, uint16_t* out_u16,
   *out_h = img->height;
   int bd = img->ok ? img->bitdepth : 0;
   size_t npx = static_cast<size_t>(img->width) * img->height;
-  if (bd == 8 && out_f32) {
-    for (size_t i = 0; i < npx; ++i)
-      out_f32[i] = static_cast<float>(img->data[i]);
+  int rc;
+  if (!img->ok || (bd != 8 && bd != 16)) {
+    rc = -1;  // per-frame decode failure, distinct from end-of-stream
+  } else if (max_px >= 0 && npx > static_cast<size_t>(max_px)) {
+    rc = -2;  // would overflow the caller's buffers
+  } else if (bd == 8 && out_u8) {
+    std::memcpy(out_u8, img->data.data(), npx);
+    rc = 8;
   } else if (bd == 16 && out_u16) {
     std::memcpy(out_u16, img->data.data(), npx * 2);
+    rc = 16;
+  } else {
+    rc = -1;
   }
   delete img;
-  return bd;
+  return rc;
 }
 
 void slam_loader_close(void* handle) {

@@ -57,11 +57,15 @@ def fuse_into_keyframe(m: MapState, cam: Intrinsics, k, lm_ids, lm_mask,
     existing = cur_obs[tgt_kp]                    # [max_lm]
     new_id = ids
 
-    # case 1: keypoint unbound -> bind this landmark
+    # case 1: keypoint unbound -> bind this landmark. Masked writes dump to
+    # an out-of-range extra slot (sliced off) — dumping to slot 0 while
+    # writing the old value races with a genuine bind targeting keypoint 0
+    # (duplicate-index scatter order is unspecified in XLA).
     bind = mok & (existing < 0)
-    obs_k = cur_obs.at[jnp.where(bind, lm_kp, 0)].set(
-        jnp.where(bind, new_id.astype(jnp.int32), cur_obs[jnp.where(
-            bind, lm_kp, 0)]))
+    Nk = cur_obs.shape[0]
+    obs_ext = jnp.concatenate([cur_obs, jnp.full((1,), -1, cur_obs.dtype)])
+    obs_k = obs_ext.at[jnp.where(bind, lm_kp, Nk)].set(
+        new_id.astype(jnp.int32))[:Nk]
 
     # case 2: keypoint bound to a DIFFERENT landmark -> merge: loser is the
     # one with fewer observations; build replacement table rep[loser]=winner
@@ -70,10 +74,10 @@ def fuse_into_keyframe(m: MapState, cam: Intrinsics, k, lm_ids, lm_mask,
     n_b = m.lm_n_obs[jnp.clip(new_id, 0, L - 1)]
     winner = jnp.where(n_a >= n_b, existing, new_id)
     loser = jnp.where(n_a >= n_b, new_id, existing)
-    rep = jnp.arange(L, dtype=jnp.int32)
-    rep = rep.at[jnp.where(conflict, loser, L - 1)].set(
-        jnp.where(conflict, winner.astype(jnp.int32), rep[jnp.where(
-            conflict, loser, L - 1)]))
+    rep_ext = jnp.concatenate([jnp.arange(L, dtype=jnp.int32),
+                               jnp.zeros((1,), jnp.int32)])
+    rep = rep_ext.at[jnp.where(conflict, loser, L)].set(
+        winner.astype(jnp.int32))[:L]
     # one-step table application across ALL keyframe observations
     all_obs = m.kf_obs_lm
     all_obs = jnp.where(all_obs >= 0, rep[jnp.clip(all_obs, 0, L - 1)],

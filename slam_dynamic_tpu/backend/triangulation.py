@@ -165,8 +165,13 @@ def _insert_triangulated(m: MapState, k, k2, out: TriangulationOut,
     # bind the second observation in kf2 (obs bookkeeping only; covis
     # refreshed on next insert)
     new_ids = m.kf_obs_lm[k]
-    tgt_slot = jnp.where(out.ok, out.idx2, 0)
     write = out.ok & (new_ids >= 0)    # only slots that actually allocated
-    vals = jnp.where(write, new_ids, m.kf_obs_lm[k2][tgt_slot])
-    obs = m.kf_obs_lm.at[k2, tgt_slot].set(vals)
+    # masked writes dump to an out-of-range extra slot (sliced off) so a
+    # genuine bind to any real slot can't be clobbered by a no-op write
+    # (duplicate-index scatter order is unspecified in XLA)
+    Nk = m.kf_obs_lm.shape[1]
+    row_ext = jnp.concatenate([m.kf_obs_lm[k2],
+                               jnp.full((1,), -1, jnp.int32)])
+    row = row_ext.at[jnp.where(write, out.idx2, Nk)].set(new_ids)[:Nk]
+    obs = m.kf_obs_lm.at[k2].set(row)
     return m._replace(kf_obs_lm=obs)

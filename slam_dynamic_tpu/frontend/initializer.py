@@ -72,7 +72,9 @@ def try_initialize(cam: Intrinsics, ref: FrameData, cur: FrameData,
 
     # normalize scale: median depth of good points = 1 (ref :1570)
     depth = pts[:, 2]
-    med = jnp.median(jnp.where(good, depth, jnp.nan))
+    # nanmedian: padded/bad slots are NaN and must not poison the median
+    # (jnp.median would return NaN whenever any slot is masked)
+    med = jnp.nanmedian(jnp.where(good, depth, jnp.nan))
     med = jnp.nan_to_num(med, nan=1.0)
     scale = 1.0 / jnp.maximum(med, 1e-6)
     pts = pts * scale

@@ -407,10 +407,11 @@ class Tracker:
                           jnp.zeros(N, jnp.int32), slots, init.good)
         new_ids = m.kf_obs_lm[0]
         # second keyframe observations at matched slots
-        obs1 = jnp.full(N, -1, jnp.int32)
-        tgt = jnp.where(init.good & (new_ids >= 0), init.idx2, 0)
-        obs1 = obs1.at[tgt].set(
-            jnp.where(init.good & (new_ids >= 0), new_ids, obs1[tgt]))
+        # masked writes dump to an out-of-range extra slot (sliced off) so
+        # a genuine bind to slot 0 can't be clobbered by a no-op write
+        wr = init.good & (new_ids >= 0)
+        obs1 = jnp.full(N + 1, -1, jnp.int32).at[
+            jnp.where(wr, init.idx2, N)].set(new_ids)[:N]
         m = insert_keyframe(m, init.R2, init.t2, frame.frame_id,
                             frame.timestamp, frame.data.xy,
                             frame.data.level, frame.data.angle,
@@ -452,9 +453,10 @@ class Tracker:
                 return self._track(frame)
         # hard reset when lost right after initialization AND relocalization
         # failed (ref Tracking.cc:918-927 resets at <=5 KFs; we give
-        # relocalization a chance first — strictly more capable)
-        if self.n_kf_host <= 5 and not self.localization_only \
-                and self.relocalizer is None:
+        # relocalization a chance first — strictly more capable). Reached
+        # both when no relocalizer is wired AND when the attempt above
+        # returned ok=False: a young map that cannot relocalize is rebuilt.
+        if self.n_kf_host <= 5 and not self.localization_only:
             self.reset()
             return TrackStats("NOT_INITIALIZED")
         frame.R, frame.t = None, None

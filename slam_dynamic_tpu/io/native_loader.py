@@ -28,9 +28,10 @@ def _load_lib():
         lib.slam_loader_next.restype = ctypes.c_int
         lib.slam_loader_next.argtypes = [
             ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint16),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_longlong]
         lib.slam_loader_close.argtypes = [ctypes.c_void_p]
         _lib = lib
     return _lib
@@ -43,8 +44,10 @@ def native_available() -> bool:
 class PrefetchingLoader:
     """Iterate PNG files as numpy arrays with background decoding.
 
-    Yields float32 [H, W] for 8-bit files and uint16 [H, W] for 16-bit
-    (TUM depth) files.
+    Yields camera-native uint8 [H, W] for 8-bit files and uint16 [H, W]
+    for 16-bit (TUM depth) files. A frame that fails to decode or exceeds
+    `max_hw` raises IOError naming the offending path (NOT silent
+    end-of-stream — silently truncating a dataset desyncs timestamps).
     """
 
     def __init__(self, paths: List[str], n_threads: int = 3,
@@ -67,26 +70,32 @@ class PrefetchingLoader:
                 a = np.asarray(img)
                 if a.ndim == 3:
                     a = np.asarray(img.convert("L"))
-                yield (a.astype(np.float32) if a.dtype == np.uint8
+                yield (a if a.dtype == np.uint8
                        else a.astype(np.uint16))
             return
         H, W = self._max_hw
-        buf_f = np.empty(H * W, np.float32)
+        buf_8 = np.empty(H * W, np.uint8)
         buf_u = np.empty(H * W, np.uint16)
         w = ctypes.c_int()
         h = ctypes.c_int()
         try:
-            for _ in self.paths:
+            for i in range(len(self.paths)):
                 bd = self._lib.slam_loader_next(
                     self._handle,
-                    buf_f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    buf_8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                     buf_u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
-                    ctypes.byref(w), ctypes.byref(h))
+                    ctypes.byref(w), ctypes.byref(h), H * W)
                 if bd == 0:
                     break
+                if bd == -1:
+                    raise IOError(f"failed to decode {self.paths[i]}")
+                if bd == -2:
+                    raise IOError(
+                        f"{self.paths[i]} is {w.value}x{h.value}, larger "
+                        f"than loader max_hw={self._max_hw}")
                 n = w.value * h.value
                 if bd == 8:
-                    yield buf_f[:n].reshape(h.value, w.value).copy()
+                    yield buf_8[:n].reshape(h.value, w.value).copy()
                 else:
                     yield buf_u[:n].reshape(h.value, w.value).copy()
         finally:

@@ -103,11 +103,13 @@ def refresh_landmark_descriptors(m: MapState) -> MapState:
                            ).at[flat_lm, flat_slot].set(True)[:L]
     # pairwise Hamming among the up-to-8 observations
     d = jax.vmap(lambda a: hamming_pairs(a[:, None, :], a[None, :, :]))(slot)
-    big = jnp.int32(1 << 12)
     pair_ok = have[:, :, None] & have[:, None, :]
-    d = jnp.where(pair_ok, d, big)
-    med = jnp.median(d, axis=2)                     # [L, MAX_OBS]
-    med = jnp.where(have, med, jnp.inf)
+    # median over VALID pairs only: empty slots are NaN (nanmedian skips
+    # them) — a large sentinel would dominate the median for landmarks
+    # with fewer than half the slots filled, degenerating the argmin
+    df = jnp.where(pair_ok, d.astype(jnp.float32), jnp.nan)
+    med = jnp.nanmedian(df, axis=2)                 # [L, MAX_OBS]
+    med = jnp.where(have & ~jnp.isnan(med), med, jnp.inf)
     bestj = jnp.argmin(med, axis=1)                 # [L]
     best_desc = slot[jnp.arange(L), bestj]
     any_obs = have.any(axis=1)

@@ -27,8 +27,26 @@ def test_native_loader_matches_pil(png_dir):
     got = list(PrefetchingLoader(png_dir, n_threads=3, capacity=2))
     assert len(got) == 6
     for p, arr in zip(png_dir, got):
+        assert arr.dtype == np.uint8  # camera-native dtype end to end
         ref = np.asarray(Image.open(p).convert("L"), np.float32)
         np.testing.assert_allclose(arr, ref, atol=0)
+
+
+def test_loader_oversized_frame_raises(png_dir):
+    if not native_available():
+        pytest.skip("native lib not built")
+    with pytest.raises(IOError, match="larger"):
+        list(PrefetchingLoader(png_dir, max_hw=(8, 8)))
+
+
+def test_loader_decode_failure_raises(png_dir, tmp_path):
+    if not native_available():
+        pytest.skip("native lib not built")
+    bad = tmp_path / "corrupt.png"
+    bad.write_bytes(b"\x89PNG\r\n\x1a\nnot a real png")
+    # failure mid-stream must raise (NOT silently truncate the dataset)
+    with pytest.raises(IOError, match="decode"):
+        list(PrefetchingLoader([png_dir[0], str(bad), png_dir[1]]))
 
 
 def test_native_loader_16bit(tmp_path):
