@@ -26,19 +26,28 @@ from .fusion import fuse_into_keyframe, cull_keyframes
 @functools.partial(
     jax.jit,
     static_argnames=("n_levels", "stereo", "max_kf", "max_lm", "do_ba",
-                     "do_refresh"))
+                     "do_refresh", "tri_neighbors"))
 def insert_keyframe_stage(m: MapState, cam: Intrinsics, fd: FrameData,
                           R, t, frame_id, timestamp, obs_lm, depth_th,
                           scale_factor, redundancy,
                           n_levels: int = 8, stereo: bool = True,
                           max_kf: int = 16, max_lm: int = 4096,
-                          do_ba: bool = True, do_refresh: bool = False):
+                          do_ba: bool = True, do_refresh: bool = False,
+                          tri_neighbors: int = 0):
     """Insert KF + full mapping pass. Returns (map, k) with k the new
     keyframe slot (device scalar; the host mirrors the counter)."""
     k = m.n_kf
     m = make_keyframe(m, cam, fd, R, t, frame_id, timestamp, obs_lm,
                       depth_th, scale_factor, n_levels=n_levels)
     m = cull_landmarks(m, k)
+    if tri_neighbors > 0:
+        # CreateNewMapPoints for stereo/RGB-D too (ref LocalMapping.cc:
+        # 208-454 runs for ALL sensors): far points beyond ThDepth enter
+        # the map here, not via the depth path in make_keyframe
+        from .triangulation import triangulate_with_neighbors
+        m = triangulate_with_neighbors(m, cam, k, scale_factor,
+                                       n_neighbors=tri_neighbors,
+                                       n_levels=n_levels, stereo=stereo)
     if do_ba:
         local = tops.select_local_map(m.kf_obs_lm, m.kf_valid,
                                       m.kf_obs_lm[k], m.lm_pos.shape[0],

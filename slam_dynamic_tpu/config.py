@@ -130,6 +130,10 @@ class MappingConfig:
 
     culling_min_found_ratio: float = 0.25
     triangulation_neighbors: int = 10      # 20 for mono (ref :219)
+    # stereo/RGB-D far-point triangulation: neighbors fused into the
+    # keyframe device stage (each adds a full NxN match+triangulate block
+    # to the jit graph; 2 covers the recent-motion pairs that matter)
+    stereo_tri_neighbors: int = 2
     fuse_neighbors: int = 10
     kf_redundancy_ratio: float = 0.9       # KeyFrameCulling rule
     min_covisibility_weight: int = 15      # KeyFrame::UpdateConnections

@@ -601,7 +601,9 @@ class Tracker:
             n_levels=cfg.orb.n_levels, stereo=self.stereo_obs,
             max_kf=cfg.capacity.local_ba_keyframes,
             max_lm=cfg.capacity.local_ba_landmarks,
-            do_ba=(k >= 2), do_refresh=(k % 4 == 3))
+            do_ba=(k >= 2), do_refresh=(k % 4 == 3),
+            tri_neighbors=(cfg.mapping.stereo_tri_neighbors
+                           if self.stereo_obs else 0))
         if not self.stereo_obs:
             # mono: new landmarks come from triangulation, not depth
             from ..backend.triangulation import create_new_landmarks

@@ -80,3 +80,36 @@ def test_cli_driver(tmp_path):
     assert summary["frames"] == 10 and summary["lost"] <= 1
     assert (tmp_path / "FrameTrajectory.txt").exists()
     assert (tmp_path / "KeyFrameTrajectory.txt").exists()
+
+
+@pytest.mark.slow
+def test_stereo_far_structure_triangulation():
+    """Far-point canary (VERDICT r1 item 2): with ThDepth small enough
+    that the WHOLE room is beyond the close-point threshold, the map
+    must still grow far landmarks via keyframe triangulation
+    (ref LocalMapping::CreateNewMapPoints runs for all sensors) and
+    tracking must hold."""
+    scfg = SynthConfig(n_frames=22, width=320, height=240, fx=260.0,
+                       fy=260.0, cx=159.5, cy=119.5, stereo=True,
+                       baseline=0.08)
+    seq = generate(scfg)
+    sys_ = make_system(scfg)
+    # ThDepth 25 x 0.08m baseline = 2.0m: all structure (3-12m) is "far"
+    import dataclasses
+    sys_.cfg = sys_.cfg.replace(
+        sensor="stereo",
+        camera=dataclasses.replace(sys_.cfg.camera, th_depth=25.0))
+    sys_.tracker.cfg = sys_.cfg
+    for i in range(seq.gray.shape[0]):
+        st = sys_.track_stereo(seq.gray[i], seq.right[i],
+                               float(seq.timestamps[i]))
+        assert st.state == "OK" or i == 0
+    est = np.stack([-R.T @ t for _, R, t in sys_.trajectory])
+    gt = seq.t_wc[:len(est)]
+    assert ate_rmse(est, gt) < 0.05
+    m = sys_.tracker.map
+    n_kf = int(m.n_kf)
+    n_lm = int(np.asarray(m.lm_valid).sum())
+    # the depth path spawns at most min_create=100 per keyframe; more
+    # valid landmarks than that proves triangulation created the rest
+    assert n_lm > n_kf * 100 + 50, (n_lm, n_kf)

@@ -64,3 +64,49 @@ def test_triangulate_between_full(rng):
     np.testing.assert_array_equal(idx2[ok], np.arange(150)[ok])
     X = np.asarray(out.points)
     np.testing.assert_allclose(X[ok], pts[ok], atol=5e-2)
+
+
+def test_triangulate_between_stereo_low_parallax(rng):
+    """Far points under near-forward motion: ray parallax is too low for
+    DLT, but stereo depth must still spawn them (ref LocalMapping.cc
+    :293-341 arbitration) — the far-point path that matters on KITTI."""
+    n = 120
+    pts = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                    rng.uniform(8, 14, n)], 1).astype(np.float32)
+    R1 = np.eye(3, dtype=np.float32)
+    t1 = np.zeros(3, np.float32)
+    R2 = np.eye(3, dtype=np.float32)
+    t2 = np.array([0.0, 0.0, -0.05], np.float32)   # 5cm forward
+    uv1 = np.array(project(CAM, jnp.asarray(pts)))
+    uv2 = np.array(project(CAM, jnp.asarray(pts @ R2.T + t2)))
+    desc = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+    ones = jnp.ones(n, bool)
+    lvl = jnp.zeros(n, jnp.int32)
+    ang = jnp.zeros(n)
+    bf = 0.5 * 400.0                                # 0.5m baseline
+    cam = CAM._replace(bf=jnp.float32(bf))
+    z1 = pts[:, 2]
+    ur1 = uv1[:, 0] - bf / z1
+    z2 = (pts @ R2.T + t2)[:, 2]
+    ur2 = uv2[:, 0] - bf / z2
+    out = triangulate_between(
+        cam, jnp.float32(1.2),
+        jnp.asarray(uv1, jnp.float32), jnp.asarray(desc), ones, lvl, ang,
+        ones, jnp.asarray(R1), jnp.asarray(t1),
+        jnp.asarray(uv2, jnp.float32), jnp.asarray(desc), ones, lvl, ang,
+        ones, jnp.asarray(R2), jnp.asarray(t2),
+        kp1_depth=jnp.asarray(z1), kp1_ur=jnp.asarray(ur1),
+        kp2_depth=jnp.asarray(z2), kp2_ur=jnp.asarray(ur2))
+    ok = np.asarray(out.ok)
+    assert ok.sum() > 60, ok.sum()
+    X = np.asarray(out.points)
+    np.testing.assert_allclose(X[ok], pts[ok], atol=5e-2)
+
+    # mono form on the same geometry rejects (low parallax, no depth)
+    out_mono = triangulate_between(
+        cam, jnp.float32(1.2),
+        jnp.asarray(uv1, jnp.float32), jnp.asarray(desc), ones, lvl, ang,
+        ones, jnp.asarray(R1), jnp.asarray(t1),
+        jnp.asarray(uv2, jnp.float32), jnp.asarray(desc), ones, lvl, ang,
+        ones, jnp.asarray(R2), jnp.asarray(t2))
+    assert np.asarray(out_mono.ok).sum() < ok.sum() / 4
