@@ -21,10 +21,9 @@ from ..parallel.mesh import make_mesh
 from ..parallel import sharded_ba as sba
 
 
-def global_bundle_adjust(m: MapState, cam: Intrinsics, stereo: bool = True,
-                         iters: int = 15, n_devices: Optional[int] = None,
-                         scale_factor: float = 1.2) -> MapState:
-    """Run global BA over all valid keyframes/landmarks; write back."""
+def _build_problem(m: MapState, cam: Intrinsics, stereo: bool,
+                   n_devices: Optional[int], scale_factor: float):
+    """Snapshot the map into a landmark-sharded BA problem."""
     K, N = m.kf_obs_lm.shape
     L = m.lm_pos.shape[0]
     mesh = make_mesh(n_devices)
@@ -86,6 +85,15 @@ def global_bundle_adjust(m: MapState, cam: Intrinsics, stereo: bool = True,
         obs_valid=put(problem.obs_valid, P("lm")),
         obs_ur_weight=put(problem.obs_ur_weight, P("lm")))
 
+    return problem, mesh, K, L, Lp, Oc
+
+
+def global_bundle_adjust(m: MapState, cam: Intrinsics, stereo: bool = True,
+                         iters: int = 15, n_devices: Optional[int] = None,
+                         scale_factor: float = 1.2) -> MapState:
+    """Run global BA over all valid keyframes/landmarks; write back."""
+    problem, mesh, K, L, Lp, Oc = _build_problem(m, cam, stereo, n_devices,
+                                                 scale_factor)
     run = sba.make_sharded_ba(mesh, cam, K=K, L=Lp, O=Oc, stereo=stereo,
                               iters=iters)
     kf_R, kf_t, pts_out = run(problem)
@@ -94,3 +102,89 @@ def global_bundle_adjust(m: MapState, cam: Intrinsics, stereo: bool = True,
         kf_t=jnp.where(m.kf_valid[:, None], kf_t, m.kf_t),
         lm_pos=jnp.where(m.lm_valid[:, None],
                          jnp.asarray(pts_out)[:L], m.lm_pos))
+
+
+class AmortizedGBA:
+    """Post-loop global BA amortized over subsequent frames.
+
+    The reference runs GBA in a detached thread and merges when it finishes
+    (LoopClosing::RunGlobalBundleAdjustment, /root/reference/src/
+    LoopClosing.cc:646-751): keyframes inserted DURING the solve are
+    corrected through their spanning parent, landmarks through their
+    reference keyframe. Here the snapshot problem advances a bounded slice
+    of GN iterations per tracked frame (one async device dispatch each —
+    no frame-time spike), then `merge` applies the same propagation rules.
+    """
+
+    def __init__(self, m: MapState, cam: Intrinsics, stereo: bool,
+                 total_iters: int = 15, slice_iters: int = 3,
+                 n_devices: Optional[int] = None,
+                 scale_factor: float = 1.2):
+        self.cam = cam
+        self.problem, mesh, K, L, Lp, Oc = _build_problem(
+            m, cam, stereo, n_devices, scale_factor)
+        self.run = sba.make_sharded_ba(mesh, cam, K=K, L=Lp, O=Oc,
+                                       stereo=stereo, iters=slice_iters)
+        self.L = L
+        self.remaining = total_iters
+        self.slice_iters = slice_iters
+        # snapshot membership for the merge propagation
+        self.snap_kf_valid = m.kf_valid
+        self.snap_lm_valid = m.lm_valid
+
+    @property
+    def done(self) -> bool:
+        return self.remaining <= 0
+
+    def step(self):
+        """Advance one bounded slice (async device dispatch)."""
+        if self.done:
+            return
+        kf_R, kf_t, pts = self.run(self.problem)
+        self.problem = self.problem._replace(kf_R=kf_R, kf_t=kf_t,
+                                             points=pts)
+        self.remaining -= self.slice_iters
+
+    def merge(self, m: MapState) -> MapState:
+        """Write the converged solve into the CURRENT map, propagating to
+        keyframes/landmarks created since the snapshot (ref merge protocol,
+        LoopClosing.cc:698-748)."""
+        K = m.kf_valid.shape[0]
+        L = self.L
+        R_opt = self.problem.kf_R
+        t_opt = self.problem.kf_t
+        in_snap = self.snap_kf_valid
+        # new keyframes: correct through the strongest snapshot covisible,
+        # keeping the CURRENT relative transform to it (ref uses
+        # Tchild_parent * TcorrectedParent)
+        covis_snap = jnp.where(in_snap[None, :], m.covis, -1)
+        parent = jnp.argmax(covis_snap, axis=1)
+        has_par = jnp.take_along_axis(covis_snap, parent[:, None],
+                                      1)[:, 0] > 0
+        Rp_old = m.kf_R[parent]                   # pre-merge pose
+        tp_old = m.kf_t[parent]
+        R_rel = jnp.einsum("kij,kpj->kip", m.kf_R, Rp_old)   # R_k R_p^T
+        t_rel = m.kf_t - jnp.einsum("kij,kj->ki", R_rel, tp_old)
+        R_prop = jnp.einsum("kij,kjl->kil", R_rel, R_opt[parent])
+        t_prop = jnp.einsum("kij,kj->ki", R_rel, t_opt[parent]) + t_rel
+        new_kf = m.kf_valid & ~in_snap & has_par
+        kf_R = jnp.where(in_snap[:, None, None], R_opt,
+                         jnp.where(new_kf[:, None, None], R_prop, m.kf_R))
+        kf_t = jnp.where(in_snap[:, None], t_opt,
+                         jnp.where(new_kf[:, None], t_prop, m.kf_t))
+        # landmarks: snapshot ones take the optimized positions; newer ones
+        # are corrected through their reference keyframe's pose change
+        # (x' = T_ref_new^-1 o T_ref_old applied to x, ref mTcwBefGBA path)
+        pts_opt = jnp.asarray(self.problem.points)[:L]
+        ref = jnp.clip(m.lm_first_kf, 0, K - 1)
+        x_cam = jnp.einsum("lij,lj->li", m.kf_R[ref], m.lm_pos) \
+            + m.kf_t[ref]
+        Rn = kf_R[ref]
+        tn = kf_t[ref]
+        x_prop = jnp.einsum("lji,lj->li", Rn, x_cam - tn)
+        in_snap_lm = self.snap_lm_valid & (jnp.arange(m.lm_pos.shape[0]) <
+                                           L)
+        lm_pos = jnp.where(
+            (m.lm_valid & in_snap_lm)[:, None], pts_opt,
+            jnp.where(m.lm_valid[:, None], x_prop, m.lm_pos))
+        return m._replace(kf_R=kf_R, kf_t=kf_t, lm_pos=lm_pos)

@@ -10,6 +10,7 @@ as a synchronous pipeline stage on keyframe insertion.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional
 
 import jax
@@ -22,28 +23,28 @@ from ..ops.horn import ransac_sim3
 from ..optim.sim3_opt import optimize_sim3
 from ..optim.pose_graph import PoseGraphProblem, optimize_pose_graph
 from ..utils import sim3 as s3
-from ..utils.camera import Intrinsics
-from ..worldmap.state import MapState
+from ..utils.camera import Intrinsics, project
+from ..worldmap.state import MapState, add_loop_edge
+from .fusion import fuse_into_keyframe
 from ..worldmap import kfdb as kfdb_mod
 from ..models import vocabulary as voc_mod
 
 
 @jax.jit
-def _detect_device(hists, has, db_valid, hist, covis, k):
+def _detect_device(db: kfdb_mod.KFDatabase, hist, covis, k):
     """Whole loop-detection scoring in ONE device call -> small packet:
     [best_cand, best_score, covis_row_of_best (K bools as floats)].
     Folds: covisible-set exclusion, min-score from strong covisibles
     (ref :122), candidate query, best selection."""
-    K = covis.shape[0]
     covis_row = covis[k]
     exclude = (covis_row > 0)
     exclude = exclude.at[k].set(True)
-    # min score among strong covisibles
-    strong = (covis_row >= 15) & db_valid
-    sims = 1.0 - 0.5 * jnp.sum(jnp.abs(hists - hists[k][None, :]), axis=1)
+    # min score among strong covisibles: score of the query against each
+    # strong covisible's stored sparse row
+    strong = (covis_row >= 15) & db.valid
+    sims, _ = kfdb_mod.scores(db, hist)
     min_score = jnp.min(jnp.where(strong, sims, jnp.inf))
     min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.0)
-    db = kfdb_mod.KFDatabase(hists, has, db_valid)
     cand = kfdb_mod.query(db, hist, covis, exclude, min_score=min_score)
     best = jnp.argmax(cand.score)
     return jnp.concatenate([
@@ -61,11 +62,113 @@ def _match_kf_pair(desc_a, valid_a, obs_a, desc_b, valid_b, obs_b):
     return idx, ok
 
 
+@jax.jit
+def _sim3_widen(m: MapState, cam: Intrinsics, k, c, s, R, t,
+                idx_bow, ok_bow, scale_factor):
+    """Guided Sim3 match widening (ref ORBmatcher::SearchBySim3, called from
+    ComputeSim3 /root/reference/src/LoopClosing.cc:310-340): project each
+    side's landmarks into the other image through the estimated Sim3
+    S_ck (x_cand = s R x_k + t), match descriptors inside a level-scaled
+    radius, keep mutually-agreeing pairs, union with the BoW matches.
+    Returns (idx, ok): per-k-slot index into cand's slots."""
+    L = m.lm_pos.shape[0]
+    lm_k = m.kf_obs_lm[k]
+    lm_c = m.kf_obs_lm[c]
+    has_k = m.kf_kp_valid[k] & (lm_k >= 0) & m.lm_valid[jnp.clip(lm_k, 0, L - 1)]
+    has_c = m.kf_kp_valid[c] & (lm_c >= 0) & m.lm_valid[jnp.clip(lm_c, 0, L - 1)]
+    xk = m.lm_pos[jnp.clip(lm_k, 0, L - 1)] @ m.kf_R[k].T + m.kf_t[k]
+    xc = m.lm_pos[jnp.clip(lm_c, 0, L - 1)] @ m.kf_R[c].T + m.kf_t[c]
+
+    def guided(x_src, has_src, desc_src, kp_xy_dst, kp_lvl_dst, kp_desc_dst,
+               kp_valid_dst):
+        uv = project(cam, x_src)
+        ok = has_src & (x_src[:, 2] > 0.1)
+        radius = 7.5 * scale_factor ** kp_lvl_dst.astype(jnp.float32)
+        d2 = (jnp.sum(uv * uv, -1)[:, None]
+              + jnp.sum(kp_xy_dst * kp_xy_dst, -1)[None, :]
+              - 2.0 * (uv @ kp_xy_dst.T))
+        pair = d2 <= radius[None, :] ** 2
+        dist = hm.masked_hamming_matrix(desc_src, ok, kp_desc_dst,
+                                        kp_valid_dst, pair_mask=pair)
+        idx, _, mok = hm.match_nn(dist, max_dist=75)
+        return idx, mok
+
+    desc_k = m.lm_desc[jnp.clip(lm_k, 0, L - 1)]
+    desc_c = m.lm_desc[jnp.clip(lm_c, 0, L - 1)]
+    s_i, R_i, t_i = s3.sim3_inverse(s, R, t)
+    # k-side landmarks into cand's image (through S_ck)
+    m1, ok1 = guided(s * (xk @ R.T) + t, has_k, desc_k,
+                     m.kf_kp_xy[c], m.kf_kp_level[c], m.kf_kp_desc[c],
+                     m.kf_kp_valid[c])
+    # cand-side landmarks into k's image (through S_ck^-1)
+    m2, ok2 = guided(s_i * (xc @ R_i.T) + t_i, has_c, desc_c,
+                     m.kf_kp_xy[k], m.kf_kp_level[k], m.kf_kp_desc[k],
+                     m.kf_kp_valid[k])
+    # mutual agreement (ref SearchBySim3 final loop)
+    N = lm_k.shape[0]
+    back = m2[jnp.clip(m1, 0, N - 1)]
+    agree = ok1 & ok2[jnp.clip(m1, 0, N - 1)] & (back == jnp.arange(N))
+    agree = agree & has_c[jnp.clip(m1, 0, N - 1)]
+    idx = jnp.where(ok_bow, idx_bow, m1)
+    ok = ok_bow | agree
+    return idx, ok
+
+
+@functools.partial(jax.jit, static_argnames=("n_neigh", "cap"))
+def _loop_landmark_set(m: MapState, c, n_neigh: int = 5, cap: int = 4096):
+    """Deduped landmark ids observed by cand + its top covisible KFs
+    (ref mvpLoopMapPoints gathering, LoopClosing.cc:342-352)."""
+    L = m.lm_pos.shape[0]
+    w = m.covis[c] * m.kf_valid
+    _, nb = jax.lax.top_k(w, n_neigh)
+    rows = jnp.concatenate([c[None], nb])
+    ids = m.kf_obs_lm[rows].reshape(-1)
+    kpv = m.kf_kp_valid[rows].reshape(-1)
+    valid = kpv & (ids >= 0) & m.lm_valid[jnp.clip(ids, 0, L - 1)]
+    # first-occurrence dedup
+    order = jnp.arange(ids.shape[0], dtype=jnp.int32)
+    idsL = jnp.where(valid, ids, L)
+    first = jnp.full(L + 1, 1 << 30, jnp.int32).at[idsL].min(order)
+    keep = valid & (first[idsL] == order)
+    vals, sel = jax.lax.top_k(keep.astype(jnp.int32), cap)
+    return jnp.where(keep, ids, 0)[sel], vals > 0
+
+
+@jax.jit
+def _loop_projection_count(m: MapState, cam: Intrinsics, k, c, s, R, t,
+                           ids, mask, sim3_slot_ok, scale_factor):
+    """SearchByProjection with the verified Scw (ref LoopClosing.cc:354-368):
+    project the loop-neighborhood landmark set into KF k through
+    S_ck^-1 o T_cw(cand) and count matched keypoint slots, unioned with the
+    Sim3-inlier slots — the reference's nTotalMatches >= 40 gate input."""
+    L = m.lm_pos.shape[0]
+    pos = m.lm_pos[jnp.clip(ids, 0, L - 1)]
+    x_c = pos @ m.kf_R[c].T + m.kf_t[c]
+    s_i, R_i, t_i = s3.sim3_inverse(s, R, t)
+    x_k = s_i * (x_c @ R_i.T) + t_i
+    uv = project(cam, x_k)
+    ok = mask & (x_k[:, 2] > 0.1)
+    kp_xy = m.kf_kp_xy[k]
+    radius = 10.0 * scale_factor ** m.kf_kp_level[k].astype(jnp.float32)
+    d2 = (jnp.sum(uv * uv, -1)[:, None]
+          + jnp.sum(kp_xy * kp_xy, -1)[None, :]
+          - 2.0 * (uv @ kp_xy.T))
+    pair = d2 <= radius[None, :] ** 2
+    dist = hm.masked_hamming_matrix(m.lm_desc[jnp.clip(ids, 0, L - 1)], ok,
+                                    m.kf_kp_desc[k], m.kf_kp_valid[k],
+                                    pair_mask=pair)
+    lm_kp, _, mok = hm.match_nn(dist, max_dist=50)
+    N = m.kf_kp_valid.shape[1]
+    slot_hit = jnp.zeros(N + 1, bool).at[jnp.where(mok, lm_kp, N)].set(True)[:N]
+    return jnp.sum(slot_hit | sim3_slot_ok)
+
+
 @dataclasses.dataclass
 class LoopResult:
     closed: bool = False
     matched_kf: int = -1
     n_inliers: int = 0
+    n_total: int = 0
 
 
 class LoopCloser:
@@ -75,8 +178,9 @@ class LoopCloser:
         self.cfg = cfg
         self.cam = cam
         self.voc = voc
-        self.db = kfdb_mod.KFDatabase.empty(cfg.capacity.max_keyframes,
-                                            voc.n_words)
+        self.db = kfdb_mod.KFDatabase.empty(
+            cfg.capacity.max_keyframes,
+            min(kfdb_mod.TOP_WORDS, voc.n_words))
         self.consistency: List[set] = []   # candidate groups streak
         self.streaks = {}                  # cand kf -> consecutive count
         self.last_loop_kf = -1000
@@ -94,12 +198,13 @@ class LoopCloser:
         if cfg.enabled and k - self.last_loop_kf > cfg.kf_gap and k >= 10:
             cand_k = self._detect(m, k, hist)
             if cand_k >= 0:
-                ok, s_rel, R_rel, t_rel, n_inl = self._compute_sim3(
+                ok, s_rel, R_rel, t_rel, n_inl, n_total = self._compute_sim3(
                     m, k, cand_k, stereo)
                 if ok:
                     m = self._correct(m, k, cand_k, s_rel, R_rel, t_rel)
+                    m = self._search_and_fuse(m, k, cand_k)
                     self.last_loop_kf = k
-                    result = LoopResult(True, cand_k, n_inl)
+                    result = LoopResult(True, cand_k, n_inl, n_total)
         self.db = kfdb_mod.add(self.db, k, hist)
         return m, result
 
@@ -108,8 +213,7 @@ class LoopCloser:
         """BoW candidates excluding covisibles; consistency streak >= th
         (ref DetectLoop :104-231). ONE device call + ONE readback."""
         packet = np.asarray(_detect_device(
-            self.db.hists, self.db.has, self.db.valid, hist, m.covis,
-            jnp.int32(k)))
+            self.db, hist, m.covis, jnp.int32(k)))
         best = int(packet[0])
         best_score = float(packet[1])
         if best_score <= 0:
@@ -131,45 +235,70 @@ class LoopCloser:
         return -1
 
     # ------------------------------------------------------------------
-    def _compute_sim3(self, m: MapState, k: int, cand: int, stereo: bool):
-        """Match landmarks of (k, cand); solve relative Sim3 cam_cand<-cam_k
-        (ref ComputeSim3 :232-402)."""
-        idx, ok = _match_kf_pair(
-            m.kf_kp_desc[k], m.kf_kp_valid[k], m.kf_obs_lm[k],
-            m.kf_kp_desc[cand], m.kf_kp_valid[cand], m.kf_obs_lm[cand])
-        n = int(ok.sum())
-        if n < self.cfg.loop.sim3_min_inliers:
-            return False, None, None, None, 0
+    def _sim3_pairs(self, m: MapState, k: int, cand: int, idx, ok):
+        """Gather (x1, x2, uv1, uv2, ok, inv_sigma) for a k-slot->cand-slot
+        match set: 3D in each camera frame + observed pixels."""
         L = m.lm_pos.shape[0]
+        N = m.kf_obs_lm.shape[1]
         lm_k = m.kf_obs_lm[k]
-        lm_c = m.kf_obs_lm[cand][jnp.clip(idx, 0, lm_k.shape[0] - 1)]
+        lm_c = m.kf_obs_lm[cand][jnp.clip(idx, 0, N - 1)]
         ok = ok & (lm_k >= 0) & (lm_c >= 0)
         ok = ok & m.lm_valid[jnp.clip(lm_k, 0, L - 1)] \
                 & m.lm_valid[jnp.clip(lm_c, 0, L - 1)]
-        # camera-frame coordinates of the matched landmarks
         xk_w = m.lm_pos[jnp.clip(lm_k, 0, L - 1)]
         xc_w = m.lm_pos[jnp.clip(lm_c, 0, L - 1)]
         x1 = xk_w @ m.kf_R[k].T + m.kf_t[k]          # in cam k
         x2 = xc_w @ m.kf_R[cand].T + m.kf_t[cand]    # in cam cand
         uv1 = m.kf_kp_xy[k]
-        uv2 = m.kf_kp_xy[cand][jnp.clip(idx, 0, lm_k.shape[0] - 1)]
-        fit = ransac_sim3(self.cam, self.cam, x1, x2, uv1, uv2, ok,
+        uv2 = m.kf_kp_xy[cand][jnp.clip(idx, 0, N - 1)]
+        lvl_k = m.kf_kp_level[k].astype(jnp.float32)
+        lvl_c = m.kf_kp_level[cand].astype(jnp.float32)[
+            jnp.clip(idx, 0, N - 1)]
+        sf = self.cfg.orb.scale_factor
+        inv1 = 1.0 / (sf ** (2 * lvl_k))
+        inv2 = 1.0 / (sf ** (2 * lvl_c))
+        return x1, x2, uv1, uv2, ok, inv1, inv2
+
+    def _compute_sim3(self, m: MapState, k: int, cand: int, stereo: bool):
+        """Match landmarks of (k, cand); solve relative Sim3 cam_cand<-cam_k
+        (ref ComputeSim3 :232-402): BoW matches -> Sim3 RANSAC -> guided
+        SearchBySim3 widening -> OptimizeSim3 >= 20 inliers -> loop-point
+        projection count >= 40 (nTotalMatches gate)."""
+        idx, ok = _match_kf_pair(
+            m.kf_kp_desc[k], m.kf_kp_valid[k], m.kf_obs_lm[k],
+            m.kf_kp_desc[cand], m.kf_kp_valid[cand], m.kf_obs_lm[cand])
+        n = int(ok.sum())
+        if n < self.cfg.loop.sim3_min_inliers:
+            return False, None, None, None, 0, 0
+        x1, x2, uv1, uv2, okp, inv1, inv2 = self._sim3_pairs(m, k, cand,
+                                                             idx, ok)
+        fit = ransac_sim3(self.cam, self.cam, x1, x2, uv1, uv2, okp,
                           jax.random.PRNGKey(1234 + k),
                           fix_scale=self.cfg.loop.fix_scale)
         if int(fit.n_inliers) < self.cfg.loop.sim3_min_inliers:
-            return False, None, None, None, 0
-        lvl_k = m.kf_kp_level[k].astype(jnp.float32)
-        lvl_c = m.kf_kp_level[cand].astype(jnp.float32)[
-            jnp.clip(idx, 0, lm_k.shape[0] - 1)]
-        inv1 = 1.0 / (1.2 ** (2 * lvl_k))
-        inv2 = 1.0 / (1.2 ** (2 * lvl_c))
+            return False, None, None, None, 0, 0
+        # guided widening around the RANSAC estimate (ref SearchBySim3)
+        sf = self.cfg.orb.scale_factor
+        idx_w, ok_w = _sim3_widen(m, self.cam, jnp.int32(k), jnp.int32(cand),
+                                  fit.s, fit.R, fit.t, idx, ok,
+                                  jnp.float32(sf))
+        x1, x2, uv1, uv2, okp, inv1, inv2 = self._sim3_pairs(m, k, cand,
+                                                             idx_w, ok_w)
         res = optimize_sim3(self.cam, self.cam, fit.s, fit.R, fit.t, x1, x2,
-                            uv1, uv2, inv1, inv2, ok & fit.inliers,
+                            uv1, uv2, inv1, inv2, okp,
                             fix_scale=self.cfg.loop.fix_scale)
         n_inl = int(res.n_inliers)
         if n_inl < self.cfg.loop.sim3_min_inliers:
-            return False, None, None, None, 0
-        return True, res.s, res.R, res.t, n_inl
+            return False, None, None, None, 0, 0
+        # nTotalMatches gate: loop-neighborhood landmarks projected into k
+        # (ref LoopClosing.cc:354-368, >= 40)
+        ids, mask = _loop_landmark_set(m, jnp.int32(cand))
+        total = int(_loop_projection_count(
+            m, self.cam, jnp.int32(k), jnp.int32(cand), res.s, res.R, res.t,
+            ids, mask, okp & res.inliers, jnp.float32(sf)))
+        if total < self.cfg.loop.sim3_total_matches:
+            return False, None, None, None, 0, 0
+        return True, res.s, res.R, res.t, n_inl, total
 
     # ------------------------------------------------------------------
     def _correct(self, m: MapState, k: int, cand: int, s_rel, R_rel,
@@ -215,6 +344,16 @@ class LoopCloser:
         # S_cand,k. Edge (i=k, j=cand) wants S_ji = S_cand o S_k^-1 == meas.
         add_edge(k, cand, 10.0,
                  (float(s_rel), np.asarray(R_rel), np.asarray(t_rel)))
+        # persistent loop edges from PREVIOUS closures (ref
+        # KeyFrame::mspLoopEdges consumed by OptimizeEssentialGraph,
+        # src/Optimizer.cc:826-846): a second loop keeps the first's
+        # constraint instead of letting the graph drift it apart.
+        for e in range(int(m.n_loop)):
+            li, lj = int(m.loop_i[e]), int(m.loop_j[e])
+            if bool(m.loop_valid[e]) and valid[li] and valid[lj]:
+                add_edge(li, lj, 10.0,
+                         (float(m.loop_s[e]), np.asarray(m.loop_R[e]),
+                          np.asarray(m.loop_t[e])))
 
         E = len(e_i)
         fixed = np.zeros(K, bool)
@@ -249,11 +388,30 @@ class LoopCloser:
         kf_R = jnp.where(m.kf_valid[:, None, None], R_new, m.kf_R)
         kf_t = jnp.where(m.kf_valid[:, None], t_se3, m.kf_t)
         m = m._replace(kf_R=kf_R, kf_t=kf_t, lm_pos=lm_pos)
-        if self.cfg.loop.run_global_ba:
-            # full-map BA after the essential-graph correction (the
-            # reference's async GBA thread, run synchronously here)
-            from .global_ba import global_bundle_adjust
-            m = global_bundle_adjust(
-                m, self.cam, stereo=self.cfg.sensor in ("stereo", "rgbd"),
-                iters=self.cfg.optimizer.global_ba_iters)
+        # record the new constraint for future essential-graph runs
+        m = add_loop_edge(m, k, cand, s_rel, R_rel, t_rel)
+        # post-loop global BA is NOT run inline: the reference spawns it in
+        # a background thread (LoopClosing.cc:646); the System amortizes it
+        # over subsequent frames via backend.global_ba.AmortizedGBA when
+        # cfg.loop.run_global_ba is set (result.closed triggers it).
+        return m
+
+    # ------------------------------------------------------------------
+    def _search_and_fuse(self, m: MapState, k: int, cand: int) -> MapState:
+        """LoopClosing::SearchAndFuse (ref src/LoopClosing.cc:588-645):
+        with poses already corrected, project the loop-side landmark set
+        (cand + covisibles) into the current-side keyframes (k + covisibles)
+        and merge duplicates. fuse_into_keyframe applies the replace-and-
+        forward table map-wide (MapPoint::Replace analog), so landmarks
+        duplicated across the two sides of the loop collapse to one."""
+        ids, mask = _loop_landmark_set(m, jnp.int32(cand))
+        covis = np.asarray(m.covis[k])
+        valid = np.asarray(m.kf_valid)
+        neigh = np.argsort(-covis)[:5]
+        targets = [k] + [int(j) for j in neigh
+                         if valid[j] and covis[j] > 0 and int(j) != k]
+        sf = self.cfg.orb.scale_factor
+        for kf in targets:
+            m = fuse_into_keyframe(m, self.cam, jnp.int32(kf), ids, mask,
+                                   jnp.float32(sf), radius_px=4.0)
         return m

@@ -16,10 +16,45 @@ import numpy as np
 
 from ..ops import hamming as hm
 from ..ops.pnp import ransac_pnp
+from ..utils.camera import project
 from ..optim.pose_opt import optimize_pose
 from ..worldmap.state import MapState
 from ..worldmap import kfdb as kfdb_mod
 from ..models import vocabulary as voc_mod
+
+
+@jax.jit
+def _widen_matches(m: MapState, cam, k, R, t, fd, cur_lm, radius_px):
+    """Projection-search the candidate KF's landmarks at a widened window
+    (ref Tracking.cc:2320-2366: SearchByProjection retry rounds when the
+    polished pose has <50 inliers). Projects KF k's landmarks through the
+    current pose estimate, matches descriptors inside radius_px * keypoint
+    scale into UNMATCHED frame slots, and returns the merged per-slot
+    landmark assignment."""
+    L = m.lm_pos.shape[0]
+    N = cur_lm.shape[0]
+    ids = m.kf_obs_lm[k]
+    idc = jnp.clip(ids, 0, L - 1)
+    ok = m.kf_kp_valid[k] & (ids >= 0) & m.lm_valid[idc]
+    # skip landmarks already found (ref sFound)
+    used = jnp.zeros(L + 1, bool).at[jnp.where(cur_lm >= 0, cur_lm, L)] \
+        .set(True)[:L]
+    ok = ok & ~used[idc]
+    xc = m.lm_pos[idc] @ R.T + t
+    uv = project(cam, xc)
+    ok = ok & (xc[:, 2] > 0.1)
+    radius = radius_px * fd.scale
+    d2 = (jnp.sum(uv * uv, -1)[:, None]
+          + jnp.sum(fd.xy * fd.xy, -1)[None, :] - 2.0 * (uv @ fd.xy.T))
+    pair = d2 <= radius[None, :] ** 2
+    free = fd.valid & fd.static_mask & (cur_lm < 0)
+    dist = hm.masked_hamming_matrix(m.lm_desc[idc], ok, fd.desc, free,
+                                    pair_mask=pair)
+    lm_kp, _, mok = hm.match_nn(dist, max_dist=50)
+    ext = jnp.concatenate([cur_lm, jnp.full((1,), -1, cur_lm.dtype)])
+    merged = ext.at[jnp.where(mok, lm_kp, N)].set(
+        jnp.where(mok, ids, -1).astype(jnp.int32))[:N]
+    return merged
 
 
 @jax.jit
@@ -64,7 +99,22 @@ def relocalize(m: MapState, db: kfdb_mod.KFDatabase, voc, cam, frame_data,
         inv_s2 = 1.0 / (frame_data.scale ** 2)
         res = optimize_pose(cam, fit.R, fit.t, xw, frame_data.xy, inv_s2,
                             ok_lm & fit.inliers, stereo=False)
-        if int(res.n_inliers) >= min_inliers:
+        n_good = int(res.n_inliers)
+        # widening rounds (ref Tracking.cc:2320-2366): on <min_inliers,
+        # projection-search the candidate KF's landmarks at window 10 then 3
+        # around the polished pose and re-optimize before rejecting.
+        for radius in (10.0, 3.0):
+            if n_good >= min_inliers or n_good < 10:
+                break
+            obs0 = jnp.where(res.inliers & ok_lm, lm, -1).astype(jnp.int32)
+            lm = _widen_matches(m, cam, jnp.int32(k), res.R, res.t,
+                                frame_data, obs0, jnp.float32(radius))
+            ok_lm = (lm >= 0) & m.lm_valid[jnp.clip(lm, 0, L - 1)]
+            xw = m.lm_pos[jnp.clip(lm, 0, L - 1)]
+            res = optimize_pose(cam, res.R, res.t, xw, frame_data.xy,
+                                inv_s2, ok_lm, stereo=False)
+            n_good = int(res.n_inliers)
+        if n_good >= min_inliers:
             obs = jnp.where(res.inliers & ok_lm, lm, -1)
             return True, res.R, res.t, obs
     return False, None, None, None

@@ -150,7 +150,10 @@ class LoopConfig:
     fix_scale: bool = True                 # stereo/RGB-D: s=1
     kf_gap: int = 10                       # ignore loops to recent KFs (ref :115)
     run_global_ba: bool = False            # post-loop full BA (ref spawns a
-    # GBA thread, LoopClosing.cc:646); off by default to keep tests fast
+    # GBA thread, LoopClosing.cc:646); off by default to keep tests fast.
+    # When on, the solve is AMORTIZED: gba_slice_iters GN iterations are
+    # dispatched per subsequent frame, then merged (no frame-time spike).
+    gba_slice_iters: int = 3
 
 
 @dataclass(frozen=True)
@@ -190,6 +193,7 @@ class CapacityConfig:
     max_obs_per_kf: int = 2048
     local_ba_keyframes: int = 32
     local_ba_landmarks: int = 4096
+    max_loop_edges: int = 16               # persistent loop constraints
     max_matches: int = 2048
 
 

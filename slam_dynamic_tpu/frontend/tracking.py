@@ -168,11 +168,14 @@ class Tracker:
         frame = Frame(data=out.fd, frame_id=frame_id, timestamp=timestamp,
                       boxes=boxes)
 
-        if cfg.tracking.pipeline_depth > 0 and dyn is None:
+        if cfg.tracking.pipeline_depth > 0:
             # N-deep pipeline: finalize the oldest in-flight frame(s) while
             # this one computes on device (overlaps the readback latency
             # with compute; state-machine decisions lag N frames — depth 1
-            # is the same lag the reference's async LocalMapping thread has)
+            # is the same lag the reference's async LocalMapping thread has).
+            # Dynamic frames pipeline too: box verdicts ride the packed
+            # readback and surface one frame late, so the streak bookkeeping
+            # lags exactly like the reference's async-thread design.
             frame.R, frame.t = out.R, out.t        # device handles for next
             frame.obs_lm = out.obs_lm
             # note: copy_to_host_async() on the packet was tried here and
@@ -181,7 +184,7 @@ class Tracker:
             st_prev = None
             while len(self._pending) >= cfg.tracking.pipeline_depth:
                 st_prev = self._finalize_one()
-            self._pending.append((frame, out))
+            self._pending.append((frame, out, dyn is not None))
             self.last_frame = frame                # next dispatch chains here
             return st_prev if st_prev is not None else TrackStats("OK")
 
@@ -195,9 +198,12 @@ class Tracker:
     # ------------------------------------------------------------------
     def _finalize_one(self):
         """Pipelined mode: read back + bookkeep the OLDEST deferred frame."""
-        frame, out = self._pending.popleft()
+        frame, out, was_dyn = self._pending.popleft()
         saved_last = self.last_frame
         st = self._post_track(frame, out)
+        if was_dyn:
+            st.verdicts = self._last_packed[
+                16:16 + self.cfg.dynamic.max_boxes].astype(np.int32)
         # _post_track may set state/insert KF; bookkeeping must see the
         # frame BEFORE the currently-dispatched one as "last"
         self._bookkeep_pipelined(frame)
@@ -456,7 +462,10 @@ class Tracker:
         # relocalization a chance first — strictly more capable). Reached
         # both when no relocalizer is wired AND when the attempt above
         # returned ok=False: a young map that cannot relocalize is rebuilt.
-        if self.n_kf_host <= 5 and not self.localization_only:
+        # A near-featureless frame (occlusion / blank wall) can't indict the
+        # map, so it never triggers the reset — we stay LOST and keep trying.
+        n_feat = int(np.asarray(frame.data.valid).sum())
+        if self.n_kf_host <= 5 and n_feat >= 50 and not self.localization_only:
             self.reset()
             return TrackStats("NOT_INITIALIZED")
         frame.R, frame.t = None, None
@@ -566,8 +575,9 @@ class Tracker:
         if not self.localization_only and \
                 self._need_keyframe_counts(n_map, close_bound,
                                            close_unbound):
+            before = self.n_kf_host
             self._create_keyframe(frame, n_map)
-            st.is_keyframe = True
+            st.is_keyframe = self.n_kf_host > before
         return st
 
     # ------------------------------------------------------------------
@@ -589,6 +599,11 @@ class Tracker:
     def _create_keyframe(self, frame: Frame, n_map: int):
         from ..backend.mapping_stage import insert_keyframe_stage
         cfg = self.cfg
+        if self.n_kf_host >= cfg.capacity.max_keyframes:
+            # capacity exhausted: insert_keyframe would no-op on device, so
+            # don't let the host mirror run ahead — keep tracking against
+            # the existing map (degrades gracefully instead of crashing)
+            return
         depth_th = float(cfg.camera.th_depth * self.cam.baseline)
         self.n_kf_host += 1
         k = self.n_kf_host - 1

@@ -48,6 +48,9 @@ class SynthConfig:
     texture_cells: float = 2.8      # checker frequency (cells per metre)
     trajectory: str = "sweep"       # "sweep" | "orbit" (closed loop)
     orbit_radius: float = 1.2       # metres (orbit mode)
+    orbit_turns: float = 0.0        # >0: revolutions over the sequence
+    # (0 keeps the legacy single-circuit parameterization; ~2.2 gives a
+    # double loop closure scenario)
 
 
 class SyntheticSequence(NamedTuple):
@@ -96,7 +99,10 @@ def _trajectory(cfg: SynthConfig):
     if cfg.trajectory == "orbit":
         # closed circuit: camera orbits the room centre, yawing with the
         # tangent; final frames overlap the start (loop-closure scenario)
-        th = 2 * np.pi * t / (T - max(T // 10, 2))
+        if cfg.orbit_turns > 0:
+            th = 2 * np.pi * cfg.orbit_turns * t / (T - 1)
+        else:
+            th = 2 * np.pi * t / (T - max(T // 10, 2))
         r = cfg.orbit_radius
         pos = np.stack([r * np.sin(th), 0.05 * np.sin(2 * th) + 0.0,
                         3.0 + r - r * np.cos(th)], axis=1)

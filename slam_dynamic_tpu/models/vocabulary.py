@@ -120,17 +120,39 @@ def train(descriptors: np.ndarray, k: int = 10, levels: int = 4,
                         next_groups[node * k + j] = sel
         groups = next_groups
 
-    # idf weights from training corpus occupancy (DBoW2 TF_IDF default)
-    leafs = cents[-1]
+    # idf weights from training corpus occupancy (DBoW2 TF_IDF default).
+    # Assignment by TREE DESCENT (k comparisons per level), matching
+    # `transform` exactly — brute force against all k^levels leaves would
+    # be O(n_words) per descriptor and unusable at 10^4+ words.
+    def descend(block):
+        node = np.zeros(len(block), np.int64)
+        for l in range(levels):
+            idx = node[:, None] * k + np.arange(k)[None, :]   # [n, k]
+            cand = cents[l][idx]                              # [n, k, 8]
+            x = np.bitwise_xor(cand, block[:, None, :])
+            d = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+            node = idx[np.arange(len(block)), d.argmin(1)]
+        return node
+
     assign = np.concatenate([
-        _hamming_np(desc[i:i + 4096], leafs).argmin(1)
-        for i in range(0, len(desc), 4096)]) if len(desc) else np.zeros(0)
-    counts = np.bincount(assign.astype(np.int64), minlength=k ** levels)
+        descend(desc[i:i + 32768]) for i in range(0, len(desc), 32768)]) \
+        if len(desc) else np.zeros(0, np.int64)
+    counts = np.bincount(assign, minlength=k ** levels)
     n_docs = max(len(desc) / 500.0, 1.0)   # pseudo-documents of 500 feats
     idf = np.log(n_docs / np.maximum(counts / 500.0, 1e-3))
     idf = np.clip(idf, 0.1, None).astype(np.float32)
     return Vocabulary(tuple(jnp.asarray(c) for c in cents),
                       jnp.asarray(idf), k, levels)
+
+
+def default_vocab_path():
+    """Path of the shipped pretrained vocabulary asset (trained offline by
+    tools/train_vocab.py on the synthetic multi-trajectory corpus — the
+    analog of the reference's bundled ORBvoc.txt), or None if absent."""
+    import os
+    p = os.path.join(os.path.dirname(__file__), "..", "assets",
+                     "vocab_synth.npz")
+    return p if os.path.exists(p) else None
 
 
 def save(path: str, voc: Vocabulary):

@@ -50,6 +50,7 @@ class System:
         # dense point-cloud mapping owned by the System, as the reference's
         # PointCloudMapping is (System.cc:84-85, SavePCD :430)
         self.dense = None
+        self._gba = None               # in-flight amortized post-loop GBA
         self._recent_frames = {}       # frame_id -> (gray, depth, mask)
         if cfg.pointcloud.enabled and cfg.sensor == "rgbd":
             from .backend.dense_map import DenseMapper
@@ -59,12 +60,20 @@ class System:
     def _ensure_voc(self):
         if self.voc is None:
             from .models import vocabulary as voc_mod
-            m = self.tracker.map
-            desc = np.asarray(m.kf_kp_desc[0])[np.asarray(m.kf_kp_valid[0])]
-            self.voc = voc_mod.train(desc, k=self.cfg.vocabulary.k,
-                                     levels=min(self.cfg.vocabulary.levels,
-                                                3),
-                                     seed=self.cfg.seed)
+            # prefer the shipped pretrained asset (tools/train_vocab.py);
+            # fall back to lazy training from the first keyframe's
+            # descriptors only if no asset exists
+            apath = voc_mod.default_vocab_path()
+            if apath is not None:
+                self.voc = voc_mod.load(apath)
+            else:
+                m = self.tracker.map
+                desc = np.asarray(m.kf_kp_desc[0])[
+                    np.asarray(m.kf_kp_valid[0])]
+                self.voc = voc_mod.train(
+                    desc, k=self.cfg.vocabulary.k,
+                    levels=min(self.cfg.vocabulary.levels, 3),
+                    seed=self.cfg.seed)
         if self.loop is None:
             from .backend.loop_closing import LoopCloser
             self.loop = LoopCloser(self.cfg, self.cam, self.voc)
@@ -75,6 +84,24 @@ class System:
         m, result = self.loop.on_keyframe(self.tracker.map, k, stereo)
         self.tracker.map = m
         self.last_loop = result
+        if result.closed and self.cfg.loop.run_global_ba:
+            from .backend.global_ba import AmortizedGBA
+            self._gba = AmortizedGBA(
+                m, self.cam, stereo=stereo,
+                total_iters=self.cfg.optimizer.global_ba_iters,
+                slice_iters=self.cfg.loop.gba_slice_iters,
+                scale_factor=self.cfg.orb.scale_factor)
+
+    def _gba_step(self):
+        """Advance the amortized post-loop GBA by one slice per frame and
+        merge when converged (the reference's background-GBA analog)."""
+        if self._gba is None:
+            return
+        self._gba.step()
+        if self._gba.done:
+            self.tracker.map = self._gba.merge(self.tracker.map)
+            self.tracker._kf_pose_cache.clear()
+            self._gba = None
 
     def _relocalize(self, frame):
         if self.loop is None:
@@ -134,6 +161,7 @@ class System:
                 dyn=dyn)
             self._dyn_after(st, timestamp)
             self._dense_after(st)
+            self._gba_step()
             self.frame_id += 1
             return st
         frame = build_frame(self.cfg, self.cam, gray, self.frame_id,
@@ -162,6 +190,7 @@ class System:
         st = self.tracker.step_images(
             left, right, boxes, bvalid, self.frame_id, timestamp, dyn=dyn)
         self._dyn_after(st, timestamp)
+        self._gba_step()
         self.frame_id += 1
         return st
 
@@ -181,6 +210,7 @@ class System:
         st = self.tracker.process(frame)
         if self.dynamics is not None and st.state == "OK":
             self.dynamics.post_track(frame, self.boxes, self.tracker)
+        self._gba_step()
         self.frame_id += 1
         return st
 
@@ -213,6 +243,8 @@ class System:
     @property
     def trajectory(self):
         self.tracker.flush()
+        while self._gba is not None:   # drain an in-flight post-loop GBA
+            self._gba_step()
         return self.tracker.trajectory_poses()
 
     def save_trajectory_tum(self, path: str):
@@ -314,8 +346,9 @@ class System:
         if t.n_kf_host == 0:
             return
         self._ensure_voc()
-        db = kfdb_mod.KFDatabase.empty(self.cfg.capacity.max_keyframes,
-                                       self.voc.n_words)
+        db = kfdb_mod.KFDatabase.empty(
+            self.cfg.capacity.max_keyframes,
+            min(kfdb_mod.TOP_WORDS, self.voc.n_words))
         for k in range(t.n_kf_host):
             if not bool(m.kf_valid[k]):
                 continue
@@ -343,6 +376,7 @@ class System:
             self.loop = LoopCloser(self.cfg, self.cam, self.voc)
         self.boxes = BoxTrackerState.empty()
         self.frame_id = 0
+        self._gba = None
         self._recent_frames = {}
         if self.dense is not None:
             from .backend.dense_map import DenseMapper

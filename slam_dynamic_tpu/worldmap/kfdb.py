@@ -1,12 +1,20 @@
 """Keyframe database for loop detection and relocalization.
 
 TPU-native redesign of KeyFrameDatabase (/root/reference/src/
-KeyFrameDatabase.cc:40-311): the inverted file (word -> keyframe list) is
-replaced by a dense [K, n_words] tf-idf matrix; share-word counting and L1
-scoring over ALL keyframes are single MXU matmuls — at K<=1024,
-n_words<=10^4 this is strictly faster than list walks, and the candidate
-logic (share >= 0.8*max, score >= min_score, covisibility-group
-accumulation, 0.75*best cut — ref :76-198) becomes masked reductions.
+KeyFrameDatabase.cc:40-311). The inverted file (word -> keyframe list)
+becomes a SPARSE per-keyframe word list: each KF stores its top-W
+(word id, tf-idf weight) pairs, so database memory is [K, W] — independent
+of vocabulary size (the reference's vocabulary has 10^6 words; a dense
+[K, n_words] matrix would not scale past ~10^4).
+
+Scoring uses the identity: for L1-normalized histograms q, w,
+    1 - 0.5*|q - w|_1  ==  sum_i min(q_i, w_i),
+which only needs the INTERSECTION of supports — one gather of the query
+histogram at each KF's stored word ids + a masked reduction. Exact when W
+covers every nonzero word of the KF (distinct words per KF <= keypoints),
+a top-weight truncation otherwise. The candidate logic (share >= 0.8*max,
+score >= min_score, covisibility-group accumulation, 0.75*best cut — ref
+:76-198) is unchanged masked reductions.
 """
 from __future__ import annotations
 
@@ -18,28 +26,50 @@ import jax.numpy as jnp
 
 from ..models.vocabulary import BowVector, bow_histogram
 
+# default per-KF sparse capacity: >= distinct words of a 1000-feature frame
+TOP_WORDS = 1024
+
 
 class KFDatabase(NamedTuple):
-    hists: jnp.ndarray      # [K, n_words] L1-normalized tf-idf
-    has: jnp.ndarray        # [K, n_words] bool word-presence
+    word: jnp.ndarray       # [K, W] int32 word ids (-1 = empty slot)
+    weight: jnp.ndarray     # [K, W] float32 L1-normalized tf-idf weights
     valid: jnp.ndarray      # [K] bool
 
     @staticmethod
-    def empty(K: int, n_words: int) -> "KFDatabase":
-        return KFDatabase(jnp.zeros((K, n_words), jnp.float32),
-                          jnp.zeros((K, n_words), bool),
+    def empty(K: int, top_w: int = TOP_WORDS) -> "KFDatabase":
+        return KFDatabase(jnp.full((K, top_w), -1, jnp.int32),
+                          jnp.zeros((K, top_w), jnp.float32),
                           jnp.zeros(K, bool))
 
 
 @jax.jit
 def add(db: KFDatabase, k, hist) -> KFDatabase:
-    return KFDatabase(db.hists.at[k].set(hist), db.has.at[k].set(hist > 0),
+    """Insert keyframe k's dense L1-normalized histogram as a sparse row
+    (top-W words by weight)."""
+    W = db.word.shape[1]
+    vals, idx = jax.lax.top_k(hist, W)
+    word = jnp.where(vals > 0, idx.astype(jnp.int32), -1)
+    return KFDatabase(db.word.at[k].set(word),
+                      db.weight.at[k].set(jnp.where(vals > 0, vals, 0.0)),
                       db.valid.at[k].set(True))
 
 
 @jax.jit
 def erase(db: KFDatabase, k) -> KFDatabase:
     return db._replace(valid=db.valid.at[k].set(False))
+
+
+@jax.jit
+def scores(db: KFDatabase, hist):
+    """L1 similarity of the query histogram vs every stored KF:
+    sum_i min(q_i, w_i) over each KF's stored words. Returns ([K] score,
+    [K] shared-word count)."""
+    qv = hist[jnp.clip(db.word, 0, hist.shape[0] - 1)]       # [K, W]
+    present = db.word >= 0
+    both = present & (qv > 0)
+    s = jnp.sum(jnp.where(both, jnp.minimum(qv, db.weight), 0.0), axis=1)
+    shared = jnp.sum(both, axis=1).astype(jnp.int32)
+    return s, shared
 
 
 class Candidates(NamedTuple):
@@ -59,13 +89,10 @@ def query(db: KFDatabase, hist, covis, exclude_mask,
     Implements: share-word count gate (>= 0.8 * max, ref :121-133), L1
     score gate (>= min_score), and accumulated group score.
     """
-    has_q = hist > 0
-    shared = jnp.sum(db.has & has_q[None, :], axis=1).astype(jnp.int32)
+    score, shared = scores(db, hist)
     shared = jnp.where(db.valid & ~exclude_mask, shared, 0)
     max_shared = jnp.max(shared)
     ok = shared >= jnp.maximum((0.8 * max_shared).astype(jnp.int32), 1)
-
-    score = 1.0 - 0.5 * jnp.sum(jnp.abs(db.hists - hist[None, :]), axis=1)
     score = jnp.where(ok & (score >= min_score), score, 0.0)
 
     # group accumulation: each candidate's score + scores of its top-10

@@ -53,13 +53,25 @@ class MapState(NamedTuple):
     lm_found: jnp.ndarray      # [L] int32 times actually matched
     lm_first_kf: jnp.ndarray   # [L] int32
     lm_n_obs: jnp.ndarray      # [L] int32 number of observing KFs
+    # --- persistent loop edges (LoopClosing accumulates them so FUTURE
+    # essential-graph runs keep past loop constraints — the reference keeps
+    # them in KeyFrame::mspLoopEdges, consumed by OptimizeEssentialGraph,
+    # /root/reference/src/Optimizer.cc:781-1045) ---
+    loop_i: jnp.ndarray        # [E] int32 current-side kf
+    loop_j: jnp.ndarray        # [E] int32 loop-side kf
+    loop_s: jnp.ndarray        # [E] float32 measured relative scale
+    loop_R: jnp.ndarray        # [E, 3, 3] measured S_ji rotation
+    loop_t: jnp.ndarray        # [E, 3] measured S_ji translation
+    loop_valid: jnp.ndarray    # [E] bool
     # --- allocation cursors (device scalars) ---
     n_kf: jnp.ndarray          # int32 next free kf slot
     n_lm: jnp.ndarray          # int32 next free landmark slot
+    n_loop: jnp.ndarray        # int32 next free loop-edge slot
 
 
 def empty_map(cap: CapacityConfig) -> MapState:
     K, N, L = cap.max_keyframes, cap.max_keypoints, cap.max_landmarks
+    E = cap.max_loop_edges
     f32 = jnp.float32
     return MapState(
         kf_R=jnp.tile(jnp.eye(3, dtype=f32), (K, 1, 1)),
@@ -86,9 +98,32 @@ def empty_map(cap: CapacityConfig) -> MapState:
         lm_found=jnp.ones(L, jnp.int32),
         lm_first_kf=jnp.full(L, -1, jnp.int32),
         lm_n_obs=jnp.zeros(L, jnp.int32),
+        loop_i=jnp.full(E, -1, jnp.int32),
+        loop_j=jnp.full(E, -1, jnp.int32),
+        loop_s=jnp.ones(E, f32),
+        loop_R=jnp.tile(jnp.eye(3, dtype=f32), (E, 1, 1)),
+        loop_t=jnp.zeros((E, 3), f32),
+        loop_valid=jnp.zeros(E, bool),
         n_kf=jnp.int32(0),
         n_lm=jnp.int32(0),
+        n_loop=jnp.int32(0),
     )
+
+
+def add_loop_edge(m: MapState, i: int, j: int, s, R, t) -> MapState:
+    """Record a verified loop constraint S_ji (host-side; loops are rare)."""
+    E = m.loop_valid.shape[0]
+    e = int(m.n_loop)
+    if e >= E:
+        return m
+    return m._replace(
+        loop_i=m.loop_i.at[e].set(jnp.int32(i)),
+        loop_j=m.loop_j.at[e].set(jnp.int32(j)),
+        loop_s=m.loop_s.at[e].set(jnp.float32(s)),
+        loop_R=m.loop_R.at[e].set(jnp.asarray(R, jnp.float32)),
+        loop_t=m.loop_t.at[e].set(jnp.asarray(t, jnp.float32)),
+        loop_valid=m.loop_valid.at[e].set(True),
+        n_loop=jnp.int32(e + 1))
 
 
 @jax.jit

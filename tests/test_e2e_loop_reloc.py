@@ -71,3 +71,124 @@ def test_relocalization_after_kidnap():
     center = -np.asarray(R).T @ np.asarray(t)
     gt_center = seq.t_wc[5]
     assert np.linalg.norm(center - gt_center) < 0.05
+
+
+@pytest.mark.slow
+def test_double_orbit_fusion_bounds_map():
+    """Two revolutions over the same scene: the first closure's
+    SearchAndFuse collapses duplicate landmarks, so the second pass binds
+    the EXISTING map (covisible with pass 1 -> correctly no second loop
+    trigger, like the reference) and landmark growth flattens."""
+    from slam_dynamic_tpu.config import CapacityConfig
+    scfg = dataclasses.replace(orbit_cfg(170), orbit_turns=2.1)
+    seq = generate(scfg)
+    cap = CapacityConfig(max_keyframes=64, max_landmarks=8192,
+                         max_keypoints=1024, local_ba_keyframes=8,
+                         local_ba_landmarks=2048)
+    sys_ = dense_kf(make_system(scfg, capacity=cap), loop_on=True)
+    loops = 0
+    lm_at_loop = None
+    for i in range(seq.gray.shape[0]):
+        sys_.track_rgbd(seq.gray[i], seq.depth[i],
+                        float(seq.timestamps[i]))
+        ll = getattr(sys_, "last_loop", None)
+        if ll and ll.closed:
+            loops += 1
+            sys_.last_loop = None
+            if lm_at_loop is None:
+                lm_at_loop = int(np.asarray(
+                    sys_.tracker.map.lm_valid).sum())
+    m = sys_.tracker.map
+    assert loops >= 1, loops
+    assert int(m.n_loop) >= 1       # constraint recorded for future runs
+    # pass 2 re-observes pass-1 structure: the map must not double
+    lm_end = int(np.asarray(m.lm_valid).sum())
+    assert lm_end < 1.7 * lm_at_loop, (lm_at_loop, lm_end)
+    est = np.stack([-R.T @ t for _, R, t in sys_.trajectory])
+    est_w = (seq.R_wc[0] @ est.T).T + seq.t_wc[0]
+    gt = seq.t_wc[:len(est)]
+    assert ate_rmse(est_w, gt, align=False) < 0.20
+
+
+def test_persistent_loop_edge_in_second_correction():
+    """A SECOND essential-graph correction must include the FIRST loop's
+    stored constraint: after correcting loop B, the relative pose across
+    loop A's pair stays at A's measured constraint instead of drifting
+    (ref KeyFrame::mspLoopEdges -> OptimizeEssentialGraph,
+    /root/reference/src/Optimizer.cc:826-846)."""
+    import dataclasses as dc
+    import jax.numpy as jnp
+    from slam_dynamic_tpu.config import (SystemConfig, CameraConfig,
+                                         CapacityConfig)
+    from slam_dynamic_tpu.worldmap.state import empty_map
+    from slam_dynamic_tpu.backend.loop_closing import LoopCloser
+    from slam_dynamic_tpu.models import vocabulary as voc_mod
+    from slam_dynamic_tpu.system import intrinsics_from_config
+
+    rng = np.random.RandomState(0)
+    cfg = SystemConfig(camera=CameraConfig(fx=260.0, fy=260.0, cx=160.0,
+                                           cy=120.0, width=320, height=240),
+                       capacity=CapacityConfig(
+                           max_keyframes=16, max_landmarks=256,
+                           max_keypoints=64))
+    cam = intrinsics_from_config(cfg)
+    voc = voc_mod.train(rng.randint(0, 2 ** 32, (64, 8),
+                                    dtype=np.uint64).astype(np.uint32),
+                        k=4, levels=2)
+    lc = LoopCloser(cfg, cam, voc)
+
+    # 12 KFs around a circle with accumulated yaw drift; chain covisibility
+    m = empty_map(cfg.capacity)
+    K = 12
+    kf_R = np.tile(np.eye(3, dtype=np.float32), (16, 1, 1))
+    kf_t = np.zeros((16, 3), np.float32)
+    drift = 0.02
+    for k in range(K):
+        th = 2 * np.pi * k / 10 + drift * k
+        c, s = np.cos(th), np.sin(th)
+        kf_R[k] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        kf_t[k] = np.array([0.1 * k * drift, 0, 0], np.float32)
+    covis = np.zeros((16, 16), np.int32)
+    for k in range(1, K):
+        covis[k, k - 1] = covis[k - 1, k] = 120
+    m = m._replace(kf_R=jnp.asarray(kf_R), kf_t=jnp.asarray(kf_t),
+                   kf_valid=jnp.asarray(np.arange(16) < K),
+                   covis=jnp.asarray(covis),
+                   n_kf=jnp.int32(K))
+
+    # loop A: KF 10 == KF 0 (identity relative measure)
+    m = lc._correct(m, 10, 0, 1.0, jnp.eye(3), jnp.zeros(3))
+    assert int(m.n_loop) == 1
+    RA = np.asarray(m.kf_R[10] @ m.kf_R[0].T)
+    assert np.arccos(np.clip((np.trace(RA) - 1) / 2, -1, 1)) < 0.02
+    # loop B: KF 11 == KF 1
+    m = lc._correct(m, 11, 1, 1.0, jnp.eye(3), jnp.zeros(3))
+    assert int(m.n_loop) == 2
+    # loop A's constraint survives the second correction
+    RA2 = np.asarray(m.kf_R[10] @ np.asarray(m.kf_R[0]).T)
+    assert np.arccos(np.clip((np.trace(RA2) - 1) / 2, -1, 1)) < 0.02
+
+
+@pytest.mark.slow
+def test_amortized_gba_after_loop():
+    """run_global_ba now amortizes over subsequent frames (no inline
+    full-map solve on the loop frame) and still reduces drift."""
+    scfg = orbit_cfg()
+    seq = generate(scfg)
+    sys_ = dense_kf(make_system(scfg), loop_on=True)
+    lp = dataclasses.replace(sys_.cfg.loop, run_global_ba=True)
+    sys_.cfg = sys_.cfg.replace(loop=lp)
+    sys_.tracker.cfg = sys_.cfg
+    loops = 0
+    for i in range(seq.gray.shape[0]):
+        sys_.track_rgbd(seq.gray[i], seq.depth[i],
+                        float(seq.timestamps[i]))
+        ll = getattr(sys_, "last_loop", None)
+        if ll and ll.closed:
+            loops += 1
+            sys_.last_loop = None
+    assert loops >= 1
+    est = np.stack([-R.T @ t for _, R, t in sys_.trajectory])
+    est_w = (seq.R_wc[0] @ est.T).T + seq.t_wc[0]
+    gt = seq.t_wc[:len(est)]
+    assert ate_rmse(est_w, gt, align=False) < 0.15

@@ -15,6 +15,9 @@ from slam_dynamic_tpu.system import System
 
 
 def make_system(scfg: SynthConfig, detector="off", **kw):
+    cap = kw.pop("capacity", CapacityConfig(
+        max_keyframes=32, max_landmarks=8192, max_keypoints=1024,
+        local_ba_keyframes=8, local_ba_landmarks=2048))
     cfg = SystemConfig(
         camera=CameraConfig(fx=scfg.fx, fy=scfg.fy, cx=scfg.cx, cy=scfg.cy,
                             bf=scfg.fx * scfg.baseline, width=scfg.width,
@@ -22,10 +25,7 @@ def make_system(scfg: SynthConfig, detector="off", **kw):
                             fps=scfg.fps),
         orb=ORBConfig(n_features=600),
         detector=DetectorConfig(mode=detector),
-        capacity=CapacityConfig(max_keyframes=32, max_landmarks=8192,
-                                max_keypoints=1024,
-                                local_ba_keyframes=8,
-                                local_ba_landmarks=2048),
+        capacity=cap,
         sensor="rgbd", **kw)
     return System(cfg)
 

@@ -71,13 +71,13 @@ def test_sharded_matches_single_device(rng):
                                atol=5e-3)
 
 
-def test_global_ba_from_mapstate(rng):
-    """global_bundle_adjust reduces reprojection error of a perturbed map."""
+def _perturbed_map(rng):
+    """A small MapState: 3 KFs observing 48 landmarks, later poses and all
+    landmark positions perturbed. Returns (map, true_points, L)."""
     import jax.numpy as jnp
     from slam_dynamic_tpu.config import CapacityConfig
     from slam_dynamic_tpu.worldmap.state import empty_map, insert_keyframe, \
         add_landmarks
-    from slam_dynamic_tpu.backend.global_ba import global_bundle_adjust
     from slam_dynamic_tpu.utils.camera import project_stereo
     from slam_dynamic_tpu.utils import se3 as se3m
 
@@ -127,6 +127,53 @@ def test_global_ba_from_mapstate(rng):
                                 jnp.asarray(np.arange(64) < L),
                                 jnp.asarray(ur), jnp.asarray(dep),
                                 jnp.asarray(obs))
+    return m, pts, L
+
+
+def test_global_ba_from_mapstate(rng):
+    """global_bundle_adjust reduces reprojection error of a perturbed map."""
+    from slam_dynamic_tpu.backend.global_ba import global_bundle_adjust
+    m, pts, L = _perturbed_map(rng)
     m2 = global_bundle_adjust(m, CAM, stereo=True, iters=12, n_devices=4)
     p_err = np.linalg.norm(np.asarray(m2.lm_pos)[:L] - pts, axis=1)
     assert np.median(p_err) < 0.02, np.median(p_err)
+
+
+def test_amortized_gba_matches_inline(rng):
+    """AmortizedGBA (sliced GN + merge) converges like the inline solve, and
+    keyframes inserted AFTER the snapshot keep their relative transform to
+    the parent through the merge (the reference's background-GBA merge,
+    LoopClosing.cc:698-748)."""
+    from slam_dynamic_tpu.backend.global_ba import AmortizedGBA
+    from slam_dynamic_tpu.worldmap.state import insert_keyframe
+    import jax.numpy as jnp
+
+    m, pts, L = _perturbed_map(rng)
+    gba = AmortizedGBA(m, CAM, stereo=True, total_iters=12, slice_iters=3,
+                       n_devices=4)
+    n_steps = 0
+    while not gba.done:
+        gba.step()
+        n_steps += 1
+    assert n_steps == 4
+    # a keyframe inserted DURING the solve (after the snapshot), covisible
+    # with KF 2 through shared observations
+    obs = np.asarray(m.kf_obs_lm[2])
+    m_live = insert_keyframe(
+        m, m.kf_R[2], m.kf_t[2] + jnp.asarray([0.05, 0, 0]),
+        3, 0.3, m.kf_kp_xy[2], m.kf_kp_level[2], jnp.zeros(64),
+        m.kf_kp_desc[2], m.kf_kp_valid[2], m.kf_kp_ur[2], m.kf_kp_depth[2],
+        jnp.asarray(obs))
+    # the merge propagates through the STRONGEST snapshot covisible (ties
+    # break to the lowest index) — compute the same parent here
+    par = int(np.argmax(np.asarray(m_live.covis[3])[:3]))
+    R_rel0 = np.asarray(m_live.kf_R[3] @ m_live.kf_R[par].T)
+    t_rel0 = np.asarray(m_live.kf_t[3]) - R_rel0 @ np.asarray(m_live.kf_t[par])
+    m2 = gba.merge(m_live)
+    p_err = np.linalg.norm(np.asarray(m2.lm_pos)[:L] - pts, axis=1)
+    assert np.median(p_err) < 0.02, np.median(p_err)
+    # propagation invariant: relative pose new-KF -> parent unchanged
+    R_rel1 = np.asarray(m2.kf_R[3] @ np.asarray(m2.kf_R[par]).T)
+    np.testing.assert_allclose(R_rel1, R_rel0, atol=1e-5)
+    t_rel1 = np.asarray(m2.kf_t[3]) - R_rel1 @ np.asarray(m2.kf_t[par])
+    np.testing.assert_allclose(t_rel1, t_rel0, atol=1e-5)
