@@ -257,6 +257,47 @@ def fused_track_step(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("orb_cfg", "height", "width", "sensor",
+                     "max_kf", "max_lm", "n_levels", "n_slots",
+                     "depth_stride"))
+def fused_track_step_batch(
+        m: MapState, cam: Intrinsics, bounds, image, aux,
+        boxes, box_active,
+        last_obs_lm, R_last, t_last, R_prev2, t_prev2, has_vel,
+        orb_cfg: ORBConfig, height: int, width: int,
+        mm_radius, local_radius, depth_th, scale_factor,
+        min_inliers_track,
+        sensor: str = "rgbd", max_kf: int = 16, max_lm: int = 4096,
+        n_levels: int = 8, n_slots: int = 0,
+        depth_scale=None, depth_stride: int = 1) -> FusedOut:
+    """DP-batched fused step: B independent sequences tracked in ONE
+    device call (SURVEY §5.7's frame-axis parallelism). All array inputs
+    and the MapState pytree carry a leading [B] axis; scalar tuning
+    constants are shared. Shard the batch axis over a mesh "dp" axis
+    (device_put with NamedSharding) and XLA partitions every stage —
+    per-sequence work is independent, so no collectives are inserted.
+
+    The reference processes one camera per process (pthreads inside); this
+    is the TPU-native multi-camera/multi-sequence serving mode: frontends
+    batch on one chip or shard across chips, ONE packed [B, 16] readback
+    drives all B host state machines."""
+    def one(m1, image1, aux1, bx1, ba1, last1, Rl, tl, Rp2, tp2, hv):
+        fd = build_frame_data(cam, image1, aux1, bx1, ba1, orb_cfg,
+                              height, width, scale_factor, sensor,
+                              n_slots=n_slots, depth_scale=depth_scale,
+                              depth_stride=depth_stride)
+        stereo = sensor in ("rgbd", "stereo")
+        R_pred, t_pred = _predict_inside(Rl, tl, Rp2, tp2, hv)
+        return _track_stages(m1, cam, bounds, fd, last1, R_pred, t_pred,
+                             Rl, tl, mm_radius, local_radius, depth_th,
+                             scale_factor, min_inliers_track, stereo,
+                             max_kf, max_lm, n_levels)
+    return jax.vmap(one)(m, image, aux, boxes, box_active, last_obs_lm,
+                         R_last, t_last, R_prev2, t_prev2, has_vel)
+
+
+@functools.partial(
     jax.jit, static_argnames=("stereo", "max_kf", "max_lm", "n_levels"))
 def fused_track_prebuilt(
         m: MapState, cam: Intrinsics, bounds, fd: FrameData,

@@ -553,8 +553,11 @@ class Tracker:
         np_R = packed[4:13].reshape(3, 3)
         np_t = packed[13:16]
 
-        self.map = self.map._replace(lm_visible=out.lm_visible,
-                                     lm_found=out.lm_found)
+        if out.lm_visible is not None:
+            # batched (MultiSystem) callers apply this update to the
+            # stacked map themselves and pass lm_visible=None
+            self.map = self.map._replace(lm_visible=out.lm_visible,
+                                         lm_found=out.lm_found)
         if n_mm < cfg.tracking.min_inliers_track or \
                 n_map < cfg.tracking.min_inliers_localmap:
             self.state = "LOST"

@@ -85,7 +85,11 @@ def _gn_step_shard(cam, stereo, chi2_th, axis,
     b_part = jnp.einsum("lkim,lm->ki", V, bp)
 
     # global reduction: ONE psum for (S, b, Hcc, bc, err)
-    err_local = jnp.sum(robust_cost(terms.chi2, jnp.sqrt(chi2_th)) * w)
+    # error metric: robust cost * obs weight * in-front mask — must match
+    # err_new in the accept/reject loop EXACTLY (an IRLS-weighted err here
+    # vs unweighted there under-counts outliers and rejects every step)
+    err_local = jnp.sum(robust_cost(terms.chi2, jnp.sqrt(chi2_th))
+                        * obs_w2 * (terms.depth > 1e-3))
     S_sub, b_sub, Hcc_g, bc_g, err = jax.lax.psum(
         (S_part, b_part, Hcc, bc, err_local), axis)
 
@@ -100,8 +104,13 @@ def _gn_step_shard(cam, stereo, chi2_th, axis,
     S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
         (1.0 - free_f)[:, None, None] * jnp.eye(6))
     b_red = b_red * free_f[:, None]
-    dxc = jnp.linalg.solve(S.reshape(K * 6, K * 6),
-                           b_red.reshape(K * 6)).reshape(K, 6)
+    # Jacobi-preconditioned solve: long keyframe chains make S badly
+    # conditioned (kappa >~ 1e6) and a raw float32 solve produces garbage
+    # steps that the accept/reject loop then rejects forever
+    Sm = S.reshape(K * 6, K * 6)
+    d = jax.lax.rsqrt(jnp.clip(jnp.diagonal(Sm), 1e-12, None))
+    dxc = (d * jnp.linalg.solve(d[:, None] * Sm * d[None, :],
+                                d * b_red.reshape(K * 6))).reshape(K, 6)
     dxc = dxc * free_f[:, None]
 
     rhs = bp - jnp.einsum("lkim,ki->lm", Wlk, dxc)
