@@ -91,6 +91,10 @@ class TrackingConfig:
     ref_frame_age_s: float = 0.2           # ref :623
     frame_queue_factor: float = 0.3        # queue cap 0.3*fps, ref :954
     dyn_confirm_frames: int = 2            # 2 consecutive dyn frames, ref :1213
+    vo_mode_inliers: int = 20              # localization-only "VO mode"
+    # threshold: below this many local-map inliers the tracker is deemed
+    # to be doing visual odometry (ref mbVO, Tracking.cc:728-766) and the
+    # next frame runs the dual-hypothesis MM-vs-relocalization arbitration
 
 
 @dataclass(frozen=True)
@@ -122,6 +126,8 @@ class DetectorConfig:
     input_size: Tuple[int, int] = (640, 480)
     max_detections: int = 32
     dynamic_classes: Tuple[int, ...] = (0, 1, 2, 3, 5, 7)  # person/bicycle/car/moto/bus/truck (coco ids)
+    weights_path: Optional[str] = None     # .npz from tools/train_detector.py
+    # (None -> the shipped assets/detector_synth.npz if present)
 
 
 @dataclass(frozen=True)

@@ -89,6 +89,11 @@ class Tracker:
         # localization-only mode: track against the existing map, create no
         # keyframes (ref System::ActivateLocalizationMode, System.h:87-89)
         self.localization_only = False
+        # localization-only "VO mode" (ref mbVO, Tracking.cc:728-766):
+        # set when the local map yields few inliers; while set, each frame
+        # ALSO attempts relocalization and prefers it over the motion-model
+        # solution (dual-hypothesis arbitration)
+        self.vo_mode = False
 
     # ------------------------------------------------------------------
     def step_images(self, gray: np.ndarray, aux, boxes, box_active,
@@ -575,6 +580,25 @@ class Tracker:
 
         st = TrackStats("OK", n_inliers_mm=n_mm, n_inliers_map=n_map,
                         frame_id=frame.frame_id, np_R=np_R, np_t=np_t)
+        if self.localization_only:
+            # dual-hypothesis arbitration (ref Tracking.cc:728-766): while
+            # in VO mode, also relocalize and PREFER that solution; keep
+            # the motion-model pose only when relocalization fails
+            relocated = False
+            if self.vo_mode and self.relocalizer is not None:
+                ok, Rr, tr, obs = self.relocalizer(frame)
+                if ok:
+                    frame.R = jnp.asarray(np.asarray(Rr, np.float32))
+                    frame.t = jnp.asarray(np.asarray(tr, np.float32))
+                    frame.np_R = np.asarray(Rr, np.float32)
+                    frame.np_t = np.asarray(tr, np.float32)
+                    if obs is not None:
+                        frame.obs_lm = obs
+                    st.np_R, st.np_t = frame.np_R, frame.np_t
+                    self._prev2_pose = None     # velocity invalid now
+                    relocated = True            # ref: mbVO = false
+            self.vo_mode = (not relocated and
+                            n_map < self.cfg.tracking.vo_mode_inliers)
         if not self.localization_only and \
                 self._need_keyframe_counts(n_map, close_bound,
                                            close_unbound):

@@ -211,3 +211,42 @@ def test_prefetch_matches_direct_path():
         est = np.stack([-R.T @ t for _, R, t in sys_.trajectory])
         ates[use_pf] = ate_rmse(est, seq.t_wc[:len(est)])
     assert abs(ates[True] - ates[False]) < 1e-6, ates
+
+
+@pytest.mark.slow
+def test_localization_vo_mode_dual_hypothesis():
+    """Localization-only VO mode (ref mbVO, Tracking.cc:728-766): when
+    local-map inliers fall below the VO threshold, the tracker also
+    relocalizes each frame and PREFERS the relocalization solution."""
+    import dataclasses
+    scfg = SynthConfig(n_frames=24, width=320, height=240, fx=260.0,
+                       fy=260.0, cx=159.5, cy=119.5)
+    seq = generate(scfg)
+    sys_ = make_system(scfg)
+    for i in range(12):
+        sys_.track_rgbd(seq.gray[i], seq.depth[i], float(seq.timestamps[i]))
+    sys_.activate_localization_mode()
+    # force VO mode: make the threshold unreachable so every localization
+    # frame runs the dual-hypothesis arbitration
+    sys_.cfg = sys_.cfg.replace(tracking=dataclasses.replace(
+        sys_.cfg.tracking, vo_mode_inliers=10_000))
+    sys_.tracker.cfg = sys_.cfg
+    relocs = 0
+    orig = sys_.tracker.relocalizer
+
+    def counting_reloc(frame):
+        nonlocal relocs
+        relocs += 1
+        return orig(frame)
+
+    sys_.tracker.relocalizer = counting_reloc
+    for i in range(12, 24):
+        st = sys_.track_rgbd(seq.gray[i], seq.depth[i],
+                             float(seq.timestamps[i]))
+        assert st.state == "OK"
+    # successful relocalization clears VO mode (ref mbVO=false), so the
+    # forced-weak threshold re-arms it every other frame -> ~T/2 relocs
+    assert relocs >= 5                       # arbitration actually ran
+    est = np.stack([-R.T @ t for _, R, t in sys_.trajectory])
+    # the preferred relocalization poses must stay on the trajectory
+    assert ate_rmse(est, seq.t_wc[:len(est)], align=False) < 0.06
