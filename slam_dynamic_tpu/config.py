@@ -128,6 +128,10 @@ class DetectorConfig:
     dynamic_classes: Tuple[int, ...] = (0, 1, 2, 3, 5, 7)  # person/bicycle/car/moto/bus/truck (coco ids)
     weights_path: Optional[str] = None     # .npz from tools/train_detector.py
     # (None -> the shipped assets/detector_synth.npz if present)
+    quarantine_pad: float = 0.25           # inflate ONLINE detections by
+    # this fraction before feature quarantine: detector boxes are not
+    # pixel-tight and an uncovered sliver of a moving object corrupts the
+    # pose (the mask-dilation analog of the reference's Mask-R-CNN path)
 
 
 @dataclass(frozen=True)

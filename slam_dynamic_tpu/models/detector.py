@@ -69,7 +69,8 @@ class CenterDetector(nn.Module):
         x = ConvBlock(w * 4)(x)
         x = ConvBlock(w * 4)(x)
         heat = nn.Conv(self.n_classes, (1, 1))(x)
-        size = nn.softplus(nn.Conv(2, (1, 1))(x)) * 8.0
+        # log-space size: equal relative gradient for 10px and 200px boxes
+        size = jnp.exp(jnp.clip(nn.Conv(2, (1, 1))(x), -3.0, 4.0)) * 8.0
         off = nn.Conv(2, (1, 1))(x)
         return heat, size, off
 
@@ -78,9 +79,10 @@ class Detector:
     """Host wrapper: params + jitted inference + postprocess."""
 
     def __init__(self, cfg: DetectorConfig, height: int, width: int,
-                 params=None, seed: int = 0):
+                 params=None, seed: int = 0, n_classes: int = 80):
         self.cfg = cfg
-        self.model = CenterDetector()
+        self.n_classes = n_classes
+        self.model = CenterDetector(n_classes=n_classes)
         self.h, self.w = height, width
         if params is None:
             params = self.model.init(
@@ -88,6 +90,18 @@ class Detector:
                 jnp.zeros((height, width, 1)))
         self.params = params
         self._infer = jax.jit(self._infer_impl)
+
+    @staticmethod
+    def from_npz(cfg: DetectorConfig, height: int, width: int, path: str,
+                 seed: int = 0) -> "Detector":
+        """Construct with trained weights; the class count rides in the
+        asset (the synthetic-trained head uses a reduced class set)."""
+        import pickle
+        z = np.load(path)
+        params = pickle.loads(z["blob"].tobytes())
+        n_classes = int(z["n_classes"]) if "n_classes" in z.files else 80
+        return Detector(cfg, height, width, params=params, seed=seed,
+                        n_classes=n_classes)
 
     def _infer_impl(self, params, image):
         """image [H, W] float32 -> Detections (fixed capacity)."""
@@ -112,6 +126,11 @@ class Detector:
         py = (cy + offs[:, 1]) * 8.0
         boxes = jnp.stack([px - sizes[:, 0] / 2, py - sizes[:, 1] / 2,
                            px + sizes[:, 0] / 2, py + sizes[:, 1] / 2], -1)
+        # clip to the image: ground truth (and the box tracker) live in
+        # clipped coordinates, so off-image extents only cost IoU
+        lim = jnp.array([self.w - 1, self.h - 1, self.w - 1, self.h - 1],
+                        jnp.float32)
+        boxes = jnp.clip(boxes, 0.0, lim)
         ok = top > self.cfg.conf_threshold
         # dynamic-class filter (ref yolo.cc:127)
         cls_ok = jnp.zeros_like(ok)
@@ -131,13 +150,24 @@ class Detector:
         import pickle
         flat = jax.tree_util.tree_map(np.asarray, self.params)
         np.savez_compressed(path, blob=np.frombuffer(
-            pickle.dumps(flat), dtype=np.uint8))
+            pickle.dumps(flat), dtype=np.uint8),
+            n_classes=self.n_classes)
 
     @staticmethod
     def load_params(path: str):
         import pickle
         z = np.load(path)
         return pickle.loads(z["blob"].tobytes())
+
+
+def default_detector_weights():
+    """Shipped trained weights (tools/train_detector.py on the synthetic
+    corpus — the analog of the reference's bundled Darknet weights,
+    src/yolo.cc:15-31), or None if absent."""
+    import os
+    p = os.path.join(os.path.dirname(__file__), "..", "assets",
+                     "detector_synth.npz")
+    return p if os.path.exists(p) else None
 
 
 def reshape_boxes_stereo(boxes: np.ndarray, shrink_w: float = 0.8,

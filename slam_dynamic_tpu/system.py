@@ -38,6 +38,20 @@ class System:
         if cfg.detector.mode != "off":
             from .frontend.dynamics import DynamicsModule
             self.dynamics = DynamicsModule(cfg, self.cam)
+        # online detector (ref runs YOLO inline in the track entries,
+        # src/Tracking.cc:1095-1132): trained weights required — the
+        # shipped asset is used when no path is configured
+        self.detector = None
+        if cfg.detector.mode == "online":
+            from .models.detector import Detector, default_detector_weights
+            wpath = cfg.detector.weights_path or default_detector_weights()
+            if wpath:
+                self.detector = Detector.from_npz(
+                    cfg.detector, cfg.camera.height, cfg.camera.width,
+                    wpath, seed=cfg.seed)
+            else:
+                self.detector = Detector(cfg.detector, cfg.camera.height,
+                                         cfg.camera.width, seed=cfg.seed)
         # place recognition (vocabulary trained lazily on the first KF,
         # unless a pretrained one is configured)
         self.voc = None
@@ -113,6 +127,30 @@ class System:
             min_inliers=self.cfg.tracking.min_inliers_after_reloc)
 
     # ------------------------------------------------------------------
+    def _maybe_detect(self, image: np.ndarray,
+                      detections: Optional[np.ndarray],
+                      stereo: bool = False) -> Optional[np.ndarray]:
+        """Online detection when no precomputed boxes were passed (ref
+        yolov3Segment call in the track entries, src/Tracking.cc:1095)."""
+        if detections is not None or self.detector is None:
+            return detections
+        det = self.detector.detect(image)
+        v = np.asarray(det.valid)
+        if not v.any():
+            return None
+        boxes = np.asarray(det.boxes)[v]
+        pad = self.cfg.detector.quarantine_pad
+        if pad > 0:
+            cx = (boxes[:, 0] + boxes[:, 2]) / 2
+            cy = (boxes[:, 1] + boxes[:, 3]) / 2
+            hw = (boxes[:, 2] - boxes[:, 0]) / 2 * (1 + pad)
+            hh = (boxes[:, 3] - boxes[:, 1]) / 2 * (1 + pad)
+            boxes = np.stack([cx - hw, cy - hh, cx + hw, cy + hh], 1)
+        if stereo:
+            from .models.detector import reshape_boxes_stereo
+            boxes = reshape_boxes_stereo(boxes)
+        return boxes
+
     def _advance_boxes(self, detections: Optional[np.ndarray]):
         if detections is None:
             detections = np.zeros((0, 4), np.float32)
@@ -141,6 +179,7 @@ class System:
         prefetch_next: optional (gray, depth) of the NEXT frame — its
         upload starts on a worker thread and overlaps this frame's
         readback (pass the SAME array objects to the next call)."""
+        detections = self._maybe_detect(gray, detections)
         self._advance_boxes(detections)
         if prefetch_next is not None and self.tracker.state == "OK":
             self.tracker.prefetch(*prefetch_next)
@@ -179,6 +218,7 @@ class System:
                      detections: Optional[np.ndarray] = None,
                      prefetch_next: Optional[tuple] = None) -> TrackStats:
         """Stereo entry (ref System::TrackStereo :119-220 + box overload)."""
+        detections = self._maybe_detect(left, detections, stereo=True)
         self._advance_boxes(detections)
         if prefetch_next is not None and self.tracker.state == "OK":
             self.tracker.prefetch(*prefetch_next)

@@ -97,3 +97,29 @@ def test_stereo_dynamic_object():
     ate = ate_rmse(est, gt, align=False)
     assert ate < 0.15, ate
     assert (sys_.boxes.status == 2).any()    # object confirmed dynamic
+
+
+@pytest.mark.slow
+def test_online_detector_rejects_moving_object():
+    """ONLINE mode with the SHIPPED weights: no precomputed boxes are
+    passed — the trained CenterNet detects the moving object per frame,
+    the box tracker quarantines it, and ATE recovers to near the
+    precomputed-box level (ref yolov3Segment inline in the track entries,
+    src/yolo.cc:15-137)."""
+    scfg = SynthConfig(**BASE, dynamic_object=True, obj_size=1.6,
+                       obj_depth=3.0, obj_speed=0.09)
+    seq = generate(scfg)
+
+    sys_off = make_system(scfg, detector="off")
+    est0, gt0, _ = run_rgbd(sys_off, seq, use_boxes=False)
+    ate_off = ate_rmse(est0, gt0, align=False)
+
+    sys_on = make_system(scfg, detector="online")
+    assert sys_on.detector is not None
+    # use_boxes=False: detections come from the online detector only
+    est1, gt1, _ = run_rgbd(sys_on, seq, use_boxes=False)
+    ate_on = ate_rmse(est1, gt1, align=False)
+
+    assert ate_on < 0.15, ate_on
+    assert ate_off > 3 * ate_on, (ate_off, ate_on)
+    assert len(sys_on.boxes.status) >= 1          # it saw the object

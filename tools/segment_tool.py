@@ -53,11 +53,15 @@ def main():
     for i, img in enumerate(PrefetchingLoader(paths)):
         img = np.asarray(img, np.float32)
         if det is None:
-            params = Detector.load_params(args.params) if args.params \
-                else None
-            det = Detector(DetectorConfig(mode="online",
-                                          conf_threshold=args.conf),
-                           img.shape[0], img.shape[1], params=params)
+            from slam_dynamic_tpu.models.detector import \
+                default_detector_weights
+            cfg = DetectorConfig(mode="online", conf_threshold=args.conf)
+            wpath = args.params or default_detector_weights()
+            if wpath:
+                det = Detector.from_npz(cfg, img.shape[0], img.shape[1],
+                                        wpath)
+            else:
+                det = Detector(cfg, img.shape[0], img.shape[1])
         d = det.detect(img)
         keep = np.asarray(d.valid)
         boxes = np.asarray(d.boxes)[keep]

@@ -33,6 +33,8 @@ from slam_dynamic_tpu.models.detector import (CenterDetector,  # noqa: E402
 
 STRIDE = 8
 CLS = 0          # the synthetic moving object trains as class 0 ("person")
+N_CLASSES = 8    # reduced head: 80 COCO classes would drown the heatmap
+                 # focal loss in negatives on a 1-class synthetic corpus
 
 
 def build_dataset(height, width, n_frames=50):
@@ -49,6 +51,17 @@ def build_dataset(height, width, n_frames=50):
              texture_cells=3.2, obj_bob=0.2),
         dict(seed=3, obj_speed=0.05, obj_size=1.2, obj_x0=-1.2,
              texture_cells=2.5),
+        # large/close objects: boxes up to ~half the image — without these
+        # the size head collapses to the small-box mode and big detections
+        # both shrink and drop out (measured on the e2e dynamic scene)
+        dict(seed=4, obj_speed=0.09, obj_size=1.6, obj_depth=3.0,
+             texture_cells=2.6),
+        dict(seed=5, obj_speed=0.07, obj_size=2.0, obj_depth=2.6,
+             texture_cells=3.0),
+        dict(seed=6, obj_speed=0.10, obj_size=1.8, obj_depth=2.8,
+             obj_x0=0.8, texture_cells=2.4, obj_bob=0.1),
+        dict(seed=9, obj_speed=0.05, obj_size=1.6, obj_depth=2.4,
+             obj_x0=-0.8, texture_cells=3.4),
     ]
     for v in variants:
         seq = generate(SynthConfig(**base, **v))
@@ -68,14 +81,16 @@ def build_dataset(height, width, n_frames=50):
             np.asarray(valids))
 
 
-def make_targets(boxes, valids, height, width, n_classes=80):
-    """CenterNet targets: Gaussian heatmap + size/offset at centers."""
+def make_targets(boxes, valids, height, width, n_classes=N_CLASSES):
+    """CenterNet targets: Gaussian heatmap + size (neighborhood) +
+    offset (center cell)."""
     hh, ww = height // STRIDE, width // STRIDE
     n = len(boxes)
     heat = np.zeros((n, hh, ww, n_classes), np.float32)
     size = np.zeros((n, hh, ww, 2), np.float32)
     off = np.zeros((n, hh, ww, 2), np.float32)
     mask = np.zeros((n, hh, ww, 1), np.float32)
+    offm = np.zeros((n, hh, ww, 1), np.float32)
     ys, xs = np.mgrid[0:hh, 0:ww]
     for i, (b, v) in enumerate(zip(boxes, valids)):
         if not v:
@@ -90,10 +105,18 @@ def make_targets(boxes, valids, height, width, n_classes=80):
         g = np.exp(-((xs - cx) ** 2 + (ys - cy) ** 2) / (2 * sigma ** 2))
         heat[i, :, :, CLS] = np.maximum(heat[i, :, :, CLS], g)
         heat[i, iy, ix, CLS] = 1.0
-        size[i, iy, ix] = (w_px, h_px)
+        # supervise SIZE over the whole gaussian neighborhood (size is
+        # translation-invariant): at inference the peak can land a cell
+        # or two off-center, and a center-only target leaves those cells'
+        # size heads untrained (they regress to the dataset mean —
+        # measured as systematic box shrink on big objects). Offsets stay
+        # center-cell-only sub-cell corrections (CenterNet convention).
+        nb = g >= 0.3
+        size[i, nb] = (w_px, h_px)
+        mask[i, nb, 0] = 1.0
         off[i, iy, ix] = (cx - ix, cy - iy)
-        mask[i, iy, ix, 0] = 1.0
-    return heat, size, off, mask
+        offm[i, iy, ix, 0] = 1.0
+    return heat, size, off, mask, offm
 
 
 def main():
@@ -101,9 +124,9 @@ def main():
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "slam_dynamic_tpu", "assets",
         "detector_synth.npz"))
-    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--height", type=int, default=240)
     ap.add_argument("--seed", type=int, default=0)
@@ -112,18 +135,18 @@ def main():
 
     t0 = time.time()
     imgs, boxes, valids = build_dataset(args.height, args.width)
-    heat_t, size_t, off_t, mask_t = make_targets(boxes, valids, args.height,
-                                                 args.width)
+    heat_t, size_t, off_t, mask_t, offm_t = make_targets(
+        boxes, valids, args.height, args.width)
     print(f"[data] {len(imgs)} frames ({valids.sum()} positive) "
           f"({time.time() - t0:.1f}s)", file=sys.stderr)
 
-    model = CenterDetector()
+    model = CenterDetector(n_classes=N_CLASSES)
     key = jax.random.PRNGKey(args.seed)
     params = model.init(key, jnp.zeros((args.height, args.width, 1)))
-    opt = optax.adam(args.lr)
+    opt = optax.adam(optax.cosine_decay_schedule(args.lr, args.steps))
     opt_state = opt.init(params)
 
-    def loss_fn(p, im, ht, st, ot, mk):
+    def loss_fn(p, im, ht, st, ot, mk, om):
         heat, size, off = jax.vmap(
             lambda x: model.apply(p, x[..., None] / 255.0))(im)
         pr = jax.nn.sigmoid(heat)
@@ -134,13 +157,16 @@ def main():
                            * jnp.log(1 - pr + 1e-6), 0.0)
         n_pos = jnp.maximum(pos.sum(), 1)
         l_heat = (l_pos.sum() + l_neg.sum()) / n_pos
-        l_size = jnp.sum(jnp.abs(size - st) * mk) / n_pos
-        l_off = jnp.sum(jnp.abs(off - ot) * mk) / n_pos
-        return l_heat + 0.1 * l_size + l_off
+        # log-space L1, normalized per supervised CELL (neighborhood mask)
+        l_size = jnp.sum(jnp.abs(jnp.log(size + 1e-3)
+                                 - jnp.log(st + 1e-3)) * mk) \
+            / jnp.maximum(mk.sum(), 1)
+        l_off = jnp.sum(jnp.abs(off - ot) * om) / n_pos
+        return l_heat + l_size + l_off
 
     @jax.jit
-    def step(p, o, im, ht, st, ot, mk):
-        l, g = jax.value_and_grad(loss_fn)(p, im, ht, st, ot, mk)
+    def step(p, o, im, ht, st, ot, mk, om):
+        l, g = jax.value_and_grad(loss_fn)(p, im, ht, st, ot, mk, om)
         up, o = opt.update(g, o)
         return optax.apply_updates(p, up), o, l
 
@@ -151,14 +177,15 @@ def main():
         params, opt_state, loss = step(
             params, opt_state, jnp.asarray(imgs[sel]),
             jnp.asarray(heat_t[sel]), jnp.asarray(size_t[sel]),
-            jnp.asarray(off_t[sel]), jnp.asarray(mask_t[sel]))
+            jnp.asarray(off_t[sel]), jnp.asarray(mask_t[sel]),
+            jnp.asarray(offm_t[sel]))
         if it % 50 == 0 or it == args.steps - 1:
             print(f"[train] step {it}: loss {float(loss):.4f}",
                   file=sys.stderr)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     det = Detector(DetectorConfig(mode="online"), args.height, args.width,
-                   params=params)
+                   params=params, n_classes=N_CLASSES)
     det.save_params(args.out)
     print(f"[save] {args.out}")
 
