@@ -80,6 +80,10 @@ def main():
     ap.add_argument("--stereo", action="store_true",
                     help="bench the stereo pipeline (L/R extraction + "
                          "row-band matching) instead of RGB-D")
+    ap.add_argument("--dynamic", action="store_true",
+                    help="bench the dynamic-scene pipeline: moving object "
+                         "+ per-frame boxes + fused H/F classification "
+                         "(the framework's namesake workload)")
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("BENCH_BUDGET_S", "420")),
                     help="watchdog: emit partial JSON and exit after this "
@@ -108,13 +112,16 @@ def main():
     from slam_dynamic_tpu.io.evo import ate_rmse
     from slam_dynamic_tpu.system import System
 
+    dyn_kw = dict(dynamic_object=True, obj_size=1.6, obj_depth=3.0,
+                  obj_speed=0.06) if args.dynamic else {}
     if args.quick:
         scfg = SynthConfig(n_frames=12, width=320, height=240, fx=260.0,
                            fy=260.0, cx=159.5, cy=119.5,
-                           stereo=args.stereo)
+                           stereo=args.stereo, **dyn_kw)
         nfeat, nkp = 600, 1024
     else:
-        scfg = SynthConfig(n_frames=args.frames, stereo=args.stereo)
+        scfg = SynthConfig(n_frames=args.frames, stereo=args.stereo,
+                           **dyn_kw)
         nfeat, nkp = 1000, 2048
     seq = generate(scfg)
 
@@ -133,7 +140,8 @@ def main():
                             height=scfg.height, th_depth=120.0,
                             fps=scfg.fps, depth_map_factor=1000.0),
         orb=ORBConfig(n_features=nfeat),
-        detector=DetectorConfig(mode="off"),
+        detector=DetectorConfig(
+            mode="precomputed" if args.dynamic else "off"),
         capacity=CapacityConfig(max_keyframes=128, max_landmarks=32768,
                                 max_keypoints=nkp, local_ba_keyframes=8,
                                 local_ba_landmarks=2048),
@@ -156,10 +164,15 @@ def main():
         # tried here and REGRESSED through the axon tunnel (21.6 -> 14.8
         # fps): the worker's h2d RPCs contend with the critical packed
         # readback on the serialized transport. Keep feeds synchronous.
+        det = None
+        if args.dynamic and seq.box_valid[i, 0]:
+            det = seq.boxes[i][seq.box_valid[i]]
         if args.stereo:
             return s.track_stereo(gray8[i], aux8[i],
-                                  float(seq.timestamps[i]))
-        return s.track_rgbd(gray8[i], aux8[i], float(seq.timestamps[i]))
+                                  float(seq.timestamps[i]),
+                                  detections=det)
+        return s.track_rgbd(gray8[i], aux8[i], float(seq.timestamps[i]),
+                            detections=det)
 
     warm_cfg = cfg.replace(tracking=dataclasses.replace(
         cfg.tracking, max_frames_between_kf=3))
@@ -209,6 +222,8 @@ def main():
                "vs_baseline": round(0.02 / max(ate, 1e-9), 3)}
     else:
         kind = "stereo" if args.stereo else "RGB-D"
+        if args.dynamic:
+            kind += " dynamic-scene"
         out = {"metric": f"tracked frames/s/chip (640x480 {kind}, full SLAM)",
                "value": round(fps, 2), "unit": "fps",
                "vs_baseline": round(fps / 30.0, 3),
