@@ -57,6 +57,12 @@ class Frame:
     # cached host copies of the pose (avoid device fetches on hot path)
     np_R: Optional[np.ndarray] = None
     np_t: Optional[np.ndarray] = None
+    # reference keyframe at dispatch + its pose from the packed readback
+    # (the exact map snapshot this frame was tracked against) — lets the
+    # relative-trajectory bookkeeping skip any device fetch
+    ref_kf: int = -1
+    np_Rk: Optional[np.ndarray] = None
+    np_tk: Optional[np.ndarray] = None
 
 
 def keypoints_in_boxes(xy: jnp.ndarray, valid: jnp.ndarray,

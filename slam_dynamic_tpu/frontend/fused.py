@@ -11,8 +11,8 @@ unit:
   local-map selection -> track vs local map -> landmark stat bumps ->
   keyframe-decision statistics
 
-and everything the host state machine needs returns as ONE [16]-float
-packet (counts + pose). Keyframe insertion/BA remain separate conditional
+and everything the host state machine needs returns as ONE [28]-float
+packet (counts + pose + reference-KF pose). Keyframe insertion/BA remain separate conditional
 calls (they run on few frames). When the dynamic-object reclassifier is
 active, the frame is built and classified first and the prebuilt variant
 is used (3 device calls/frame instead of 1).
@@ -42,9 +42,13 @@ class FusedOut(NamedTuple):
     t: jnp.ndarray
     lm_visible: jnp.ndarray  # updated map counters
     lm_found: jnp.ndarray
-    packed: jnp.ndarray      # [16] float32 host packet:
+    packed: jnp.ndarray      # [28] float32 host packet:
     # 0 n_mm, 1 n_map, 2 close_bound, 3 close_unbound,
-    # 4:13 R flat, 13:16 t
+    # 4:13 R flat, 13:16 t, 16:25 ref-KF R flat, 25:28 ref-KF t
+    # (the reference keyframe's pose FROM THE MAP SNAPSHOT this frame was
+    # tracked against rides the packet so relative-trajectory bookkeeping
+    # never needs a separate device fetch — on KF frames that fetch would
+    # block ~160 ms on the mapping stage's local BA)
 
 
 def build_frame_data(cam: Intrinsics, image, aux, boxes, box_active,
@@ -177,9 +181,9 @@ def _mm_track(cam, bounds, R_pred, t_pred, R_last, t_last, lm_pos, lm_desc,
 
 
 def _track_stages(m: MapState, cam, bounds, fd: FrameData, last_obs_lm,
-                  R_pred, t_pred, R_last, t_last, mm_radius, local_radius,
-                  depth_th, scale_factor, min_inliers_track, stereo,
-                  max_kf, max_lm, n_levels) -> FusedOut:
+                  R_pred, t_pred, R_last, t_last, ref_kf, mm_radius,
+                  local_radius, depth_th, scale_factor, min_inliers_track,
+                  stereo, max_kf, max_lm, n_levels) -> FusedOut:
     N = fd.xy.shape[0]
     L = m.lm_pos.shape[0]
     idc = jnp.clip(jnp.where(last_obs_lm >= 0, last_obs_lm, 0), 0, L - 1)
@@ -217,11 +221,13 @@ def _track_stages(m: MapState, cam, bounds, fd: FrameData, last_obs_lm,
     close_unbound = jnp.sum(
         close & fd.static_mask & (obs_global < 0)).astype(jnp.float32)
 
+    rk = jnp.clip(ref_kf, 0, m.kf_R.shape[0] - 1)
     packed = jnp.concatenate([
         jnp.stack([n_mm.astype(jnp.float32),
                    out2.n_inliers.astype(jnp.float32),
                    close_bound, close_unbound]),
-        out2.R.reshape(-1), out2.t])
+        out2.R.reshape(-1), out2.t,
+        m.kf_R[rk].reshape(-1), m.kf_t[rk]])
     return FusedOut(fd, obs_global, out2.R, out2.t, vis, fnd, packed)
 
 
@@ -233,7 +239,7 @@ def _track_stages(m: MapState, cam, bounds, fd: FrameData, last_obs_lm,
 def fused_track_step(
         m: MapState, cam: Intrinsics, bounds, image, aux,
         boxes, box_active,
-        last_obs_lm, R_last, t_last, R_prev2, t_prev2, has_vel,
+        last_obs_lm, R_last, t_last, R_prev2, t_prev2, has_vel, ref_kf,
         orb_cfg: ORBConfig, height: int, width: int,
         mm_radius, local_radius, depth_th, scale_factor,
         min_inliers_track,
@@ -242,7 +248,8 @@ def fused_track_step(
         depth_scale=None, depth_stride: int = 1) -> FusedOut:
     """aux = depth map (rgbd), right image (stereo), or ignored (mono).
     Motion-model prediction happens inside (R_prev2/t_prev2 = pose two
-    frames back; has_vel 0/1 scalar)."""
+    frames back; has_vel 0/1 scalar). ref_kf = the host's reference
+    keyframe index (its pose returns in the packet tail)."""
     fd = build_frame_data(cam, image, aux, boxes, box_active, orb_cfg,
                           height, width, scale_factor, sensor,
                           n_slots=n_slots, depth_scale=depth_scale,
@@ -251,9 +258,9 @@ def fused_track_step(
     R_pred, t_pred = _predict_inside(R_last, t_last, R_prev2, t_prev2,
                                      has_vel)
     return _track_stages(m, cam, bounds, fd, last_obs_lm, R_pred, t_pred,
-                         R_last, t_last, mm_radius, local_radius, depth_th,
-                         scale_factor, min_inliers_track, stereo, max_kf,
-                         max_lm, n_levels)
+                         R_last, t_last, ref_kf, mm_radius, local_radius,
+                         depth_th, scale_factor, min_inliers_track, stereo,
+                         max_kf, max_lm, n_levels)
 
 
 @functools.partial(
@@ -264,7 +271,7 @@ def fused_track_step(
 def fused_track_step_batch(
         m: MapState, cam: Intrinsics, bounds, image, aux,
         boxes, box_active,
-        last_obs_lm, R_last, t_last, R_prev2, t_prev2, has_vel,
+        last_obs_lm, R_last, t_last, R_prev2, t_prev2, has_vel, ref_kf,
         orb_cfg: ORBConfig, height: int, width: int,
         mm_radius, local_radius, depth_th, scale_factor,
         min_inliers_track,
@@ -280,9 +287,9 @@ def fused_track_step_batch(
 
     The reference processes one camera per process (pthreads inside); this
     is the TPU-native multi-camera/multi-sequence serving mode: frontends
-    batch on one chip or shard across chips, ONE packed [B, 16] readback
+    batch on one chip or shard across chips, ONE packed [B, 28] readback
     drives all B host state machines."""
-    def one(m1, image1, aux1, bx1, ba1, last1, Rl, tl, Rp2, tp2, hv):
+    def one(m1, image1, aux1, bx1, ba1, last1, Rl, tl, Rp2, tp2, hv, rkf):
         fd = build_frame_data(cam, image1, aux1, bx1, ba1, orb_cfg,
                               height, width, scale_factor, sensor,
                               n_slots=n_slots, depth_scale=depth_scale,
@@ -290,26 +297,26 @@ def fused_track_step_batch(
         stereo = sensor in ("rgbd", "stereo")
         R_pred, t_pred = _predict_inside(Rl, tl, Rp2, tp2, hv)
         return _track_stages(m1, cam, bounds, fd, last1, R_pred, t_pred,
-                             Rl, tl, mm_radius, local_radius, depth_th,
+                             Rl, tl, rkf, mm_radius, local_radius, depth_th,
                              scale_factor, min_inliers_track, stereo,
                              max_kf, max_lm, n_levels)
     return jax.vmap(one)(m, image, aux, boxes, box_active, last_obs_lm,
-                         R_last, t_last, R_prev2, t_prev2, has_vel)
+                         R_last, t_last, R_prev2, t_prev2, has_vel, ref_kf)
 
 
 @functools.partial(
     jax.jit, static_argnames=("stereo", "max_kf", "max_lm", "n_levels"))
 def fused_track_prebuilt(
         m: MapState, cam: Intrinsics, bounds, fd: FrameData,
-        last_obs_lm, R_pred, t_pred, R_last, t_last,
+        last_obs_lm, R_pred, t_pred, R_last, t_last, ref_kf,
         mm_radius, local_radius, depth_th, scale_factor, min_inliers_track,
         stereo: bool = True, max_kf: int = 16, max_lm: int = 4096,
         n_levels: int = 8) -> FusedOut:
     """Variant taking an already-built FrameData (dynamics path)."""
     return _track_stages(m, cam, bounds, fd, last_obs_lm, R_pred, t_pred,
-                         R_last, t_last, mm_radius, local_radius, depth_th,
-                         scale_factor, min_inliers_track, stereo, max_kf,
-                         max_lm, n_levels)
+                         R_last, t_last, ref_kf, mm_radius, local_radius,
+                         depth_th, scale_factor, min_inliers_track, stereo,
+                         max_kf, max_lm, n_levels)
 
 
 @functools.partial(
@@ -320,7 +327,7 @@ def fused_track_prebuilt(
 def fused_track_step_dyn(
         m: MapState, cam: Intrinsics, bounds, image, aux,
         boxes, box_active, box_status, ref_fd: FrameData, have_ref,
-        last_obs_lm, R_last, t_last, R_prev2, t_prev2, has_vel,
+        last_obs_lm, R_last, t_last, R_prev2, t_prev2, has_vel, ref_kf,
         orb_cfg: ORBConfig, height: int, width: int,
         mm_radius, local_radius, depth_th, scale_factor,
         min_inliers_track, seed,
@@ -361,8 +368,8 @@ def fused_track_step_dyn(
     R_pred, t_pred = _predict_inside(R_last, t_last, R_prev2, t_prev2,
                                      has_vel)
     out = _track_stages(m, cam, bounds, fd, last_obs_lm, R_pred, t_pred,
-                        R_last, t_last, mm_radius, local_radius, depth_th,
-                        scale_factor, min_inliers_track, stereo, max_kf,
-                        max_lm, n_levels)
+                        R_last, t_last, ref_kf, mm_radius, local_radius,
+                        depth_th, scale_factor, min_inliers_track, stereo,
+                        max_kf, max_lm, n_levels)
     packed = jnp.concatenate([out.packed, verdict.astype(jnp.float32)])
     return out._replace(packed=packed)

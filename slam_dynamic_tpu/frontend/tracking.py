@@ -74,6 +74,7 @@ class Tracker:
         self._sf = float(cfg.orb.scale_factor)
         self._kf_pose_cache = {}
         self._dev_consts = None
+        self._ref_kf_dev = None   # (host int, device int32) of last_kf_id
         self._prev2_pose = None
         self._zero_aux_cache = None
         import collections
@@ -155,12 +156,13 @@ class Tracker:
             n_levels=cfg.orb.n_levels,
             n_slots=cfg.capacity.max_keypoints,
             depth_stride=(ds if cfg.sensor == "rgbd" else 1))
+        ref_k = max(self.last_kf_id, 0)
         if dyn is None:
             out = fused_track_step(
                 self.map, self.cam, self.bounds,
                 g_arr, aux_arr, bx, ba, last_ids,
                 R_last, t_last, R_prev2, t_prev2, has_vel,
-                depth_scale=depth_scale, **common)
+                self._ref_kf_const(), depth_scale=depth_scale, **common)
         else:
             from .fused import fused_track_step_dyn
             out = fused_track_step_dyn(
@@ -168,10 +170,11 @@ class Tracker:
                 g_arr, aux_arr, bx, ba,
                 dyn["box_status"], dyn["ref_fd"], dyn["have_ref"],
                 last_ids, R_last, t_last, R_prev2, t_prev2, has_vel,
+                self._ref_kf_const(),
                 seed=dyn["seed"], depth_scale=depth_scale, **common)
         self._prev2_pose = (R_last, t_last)
         frame = Frame(data=out.fd, frame_id=frame_id, timestamp=timestamp,
-                      boxes=boxes)
+                      boxes=boxes, ref_kf=ref_k)
 
         if cfg.tracking.pipeline_depth > 0:
             # N-deep pipeline: finalize the oldest in-flight frame(s) while
@@ -195,7 +198,7 @@ class Tracker:
 
         st = self._post_track(frame, out)
         if dyn is not None:
-            st.verdicts = self._last_packed[16:16 + cfg.dynamic.max_boxes
+            st.verdicts = self._last_packed[28:28 + cfg.dynamic.max_boxes
                                             ].astype(np.int32)
         self._bookkeep(frame)
         return st
@@ -208,7 +211,7 @@ class Tracker:
         st = self._post_track(frame, out)
         if was_dyn:
             st.verdicts = self._last_packed[
-                16:16 + self.cfg.dynamic.max_boxes].astype(np.int32)
+                28:28 + self.cfg.dynamic.max_boxes].astype(np.int32)
         # _post_track may set state/insert KF; bookkeeping must see the
         # frame BEFORE the currently-dispatched one as "last"
         self._bookkeep_pipelined(frame)
@@ -227,12 +230,24 @@ class Tracker:
             return
         R = frame.np_R if frame.np_R is not None else np.asarray(frame.R)
         t = frame.np_t if frame.np_t is not None else np.asarray(frame.t)
-        k = max(self.last_kf_id, 0)
-        Rk, tk = self._kf_pose_np(k)
+        k, Rk, tk = self._ref_kf_pose(frame)
         R_rel = R @ Rk.T
         t_rel = t - R_rel @ tk
         self.trajectory.append((frame.timestamp, k, R_rel, t_rel))
         frame.np_R, frame.np_t = R, t
+
+    def _ref_kf_pose(self, frame: Frame):
+        """(k, R_k, t_k) of the reference keyframe for relative-trajectory
+        bookkeeping. Prefers the pose that rode the frame's packed readback
+        (the exact map snapshot the frame was tracked against — zero device
+        fetches, and the same track-instant semantics as the reference's
+        mlRelativeFramePoses under its async mapping thread); falls back to
+        a cached map fetch on packet-less paths (init, reloc)."""
+        if frame.np_Rk is not None and frame.ref_kf >= 0:
+            return frame.ref_kf, frame.np_Rk, frame.np_tk
+        k = max(self.last_kf_id, 0)
+        Rk, tk = self._kf_pose_np(k)
+        return k, Rk, tk
 
     def flush(self):
         """Drain the pipelined frame (call before reading trajectories or
@@ -312,13 +327,22 @@ class Tracker:
             # map corrections (local BA, loop closure) propagate into the
             # exported trajectory (ref System::SaveTrajectoryTUM uses
             # mlRelativeFramePoses the same way, System.cc:447-480)
-            k = max(self.last_kf_id, 0)
-            Rk, tk = self._kf_pose_np(k)
+            k, Rk, tk = self._ref_kf_pose(frame)
             R_rel = R @ Rk.T
             t_rel = t - R_rel @ tk
             self.trajectory.append((frame.timestamp, k, R_rel, t_rel))
             frame.np_R, frame.np_t = R, t
         self.last_frame = frame
+
+    def _ref_kf_const(self):
+        """Device int32 of the current reference-KF index; rebuilt only
+        when last_kf_id changes (per-frame jnp.int32 would be a per-frame
+        h2d tunnel trip)."""
+        k = max(self.last_kf_id, 0)
+        cached = self._ref_kf_dev
+        if cached is None or cached[0] != k:
+            self._ref_kf_dev = cached = (k, jnp.int32(k))
+        return cached[1]
 
     def _kf_pose_np(self, k: int):
         """Cached numpy pose of keyframe k (avoids a ~30ms tunnel fetch per
@@ -487,6 +511,7 @@ class Tracker:
         self.frames_since_kf = 0
         self.last_kf_inliers = 0
         self._kf_pose_cache = {}
+        self._ref_kf_dev = None
         self._init_ref = None
         self._prev2_pose = None
         self.n_kf_host = 0
@@ -513,10 +538,12 @@ class Tracker:
         last_ids = self.last_frame.obs_lm
         if last_ids is None:
             last_ids = jnp.full(frame.data.xy.shape[0], -1, jnp.int32)
+        frame.ref_kf = max(self.last_kf_id, 0)
         out = fused_track_prebuilt(
             self.map, self.cam, self.bounds, frame.data, last_ids,
             jnp.asarray(R_pred), jnp.asarray(t_pred),
             jnp.asarray(self.last_frame.R), jnp.asarray(self.last_frame.t),
+            self._ref_kf_const(),
             dc["mm_radius"], dc["local_radius"], dc["depth_th"], dc["sf"],
             dc["min_tr"],
             stereo=self.stereo_obs,
@@ -544,6 +571,8 @@ class Tracker:
                                    jnp.int32),
                 "depth_scale": jnp.float32(
                     1.0 / max(cfg.camera.depth_map_factor, 1e-9)),
+                "kf_redundancy": jnp.float32(
+                    cfg.mapping.kf_redundancy_ratio),
             }
         return self._dev_consts
 
@@ -557,6 +586,9 @@ class Tracker:
         close_unbound = int(packed[3])
         np_R = packed[4:13].reshape(3, 3)
         np_t = packed[13:16]
+        if frame.ref_kf >= 0:
+            frame.np_Rk = packed[16:25].reshape(3, 3)
+            frame.np_tk = packed[25:28]
 
         if out.lm_visible is not None:
             # batched (MultiSystem) callers apply this update to the
@@ -631,15 +663,15 @@ class Tracker:
             # don't let the host mirror run ahead — keep tracking against
             # the existing map (degrades gracefully instead of crashing)
             return
-        depth_th = float(cfg.camera.th_depth * self.cam.baseline)
+        dc = self._scalar_consts()
         self.n_kf_host += 1
         k = self.n_kf_host - 1
         # the whole insert->cull->fuse->BA->cull chain is ONE device call
         self.map, _ = insert_keyframe_stage(
             self.map, self.cam, frame.data, frame.R, frame.t,
             jnp.int32(frame.frame_id), jnp.float32(frame.timestamp),
-            frame.obs_lm, jnp.float32(depth_th), jnp.float32(self._sf),
-            jnp.float32(cfg.mapping.kf_redundancy_ratio),
+            frame.obs_lm, dc["depth_th"], dc["sf"],
+            dc["kf_redundancy"],
             n_levels=cfg.orb.n_levels, stereo=self.stereo_obs,
             max_kf=cfg.capacity.local_ba_keyframes,
             max_lm=cfg.capacity.local_ba_landmarks,

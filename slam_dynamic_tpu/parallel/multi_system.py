@@ -4,7 +4,7 @@ The DP frame axis of SURVEY §5.7, integrated with the real System/Tracker
 state machines (not just the dryrun): B independent sequences — multiple
 cameras on one chip, or per-host streams across a mesh — share a single
 fused tracking call (`frontend/fused.py:fused_track_step_batch`) and a
-single packed [B, 16] readback per frame. The per-sequence host state
+single packed [B, 28] readback per frame. The per-sequence host state
 machines (keyframe decisions, mapping, loop closing, relocalization) stay
 exactly the single-System code: lanes that leave the steady OK state fall
 back to their own System's scalar path for that frame and rejoin the
@@ -74,6 +74,7 @@ class MultiSystem:
             *[s.tracker.map for s in self.systems])
         self._map_dirty = [False] * n     # lane map newer than self.maps
         self._consts = None
+        self._ref_kf_batch = None   # (tuple of lane ref-kfs, device [n])
 
     # ------------------------------------------------------------------
     def _put(self, x):
@@ -161,9 +162,14 @@ class MultiSystem:
         depth_scale = dc["depth_scale"] if np.asarray(
             depths[batched[0]]).dtype == np.uint16 else None
 
+        ref_ks = tuple(max(tr.last_kf_id, 0) for tr in src)
+        if self._ref_kf_batch is None or self._ref_kf_batch[0] != ref_ks:
+            self._ref_kf_batch = (
+                ref_ks, self._put(jnp.asarray(np.array(ref_ks, np.int32))))
+
         out = fused_track_step_batch(
             self.maps, t0.cam, t0.bounds, g, d, bx, ba, last_ids,
-            R_last, t_last, R_p2, t_p2, has_vel,
+            R_last, t_last, R_p2, t_p2, has_vel, self._ref_kf_batch[1],
             orb_cfg=cfg.orb, height=H, width=W,
             mm_radius=dc["mm_radius"], local_radius=dc["local_radius"],
             depth_th=dc["depth_th"], scale_factor=dc["sf"],
@@ -178,7 +184,7 @@ class MultiSystem:
         # batched landmark-statistics update: one op for every lane
         self.maps = self.maps._replace(lm_visible=out.lm_visible,
                                        lm_found=out.lm_found)
-        packed = np.asarray(out.packed)          # the ONE readback [B, 16]
+        packed = np.asarray(out.packed)          # the ONE readback [B, 28]
 
         for b in batched:
             sys_b = self.systems[b]
@@ -186,7 +192,8 @@ class MultiSystem:
             tr._prev2_pose = (R_last[b], t_last[b])
             fd_b = _tree_slice(out.fd, b)
             frame = Frame(data=fd_b, frame_id=sys_b.frame_id,
-                          timestamp=float(timestamps[b]))
+                          timestamp=float(timestamps[b]),
+                          ref_kf=ref_ks[b])
             out_b = FusedOut(fd=fd_b, obs_lm=out.obs_lm[b], R=out.R[b],
                              t=out.t[b], lm_visible=None, lm_found=None,
                              packed=packed[b])
