@@ -16,6 +16,18 @@ import jax.numpy as jnp
 
 INVALID = jnp.int32(1 << 15)   # sentinel distance for masked pairs
 
+# Backend switch for the distance-matrix kernel. The default is the MXU
+# int8 matmul below; `use_pallas(True)` swaps in the VMEM XOR-popcount
+# pallas kernel (ops/pallas_hamming.py) for graphs traced AFTER the call
+# (jit caches trace the flag's value — set it at startup, e.g. bench.py
+# --pallas-hamming, before the first tracked frame).
+_USE_PALLAS = False
+
+
+def use_pallas(enable: bool = True):
+    global _USE_PALLAS
+    _USE_PALLAS = enable
+
 
 def popcount32(x: jnp.ndarray) -> jnp.ndarray:
     """Vectorized popcount of uint32 (oracle path; hot path uses the MXU)."""
@@ -40,7 +52,14 @@ def unpack_bipolar(desc: jnp.ndarray) -> jnp.ndarray:
 
 
 def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
-    """Full [N, M] int32 Hamming matrix via one MXU int8 matmul."""
+    """Full [N, M] int32 Hamming matrix via one MXU int8 matmul (or the
+    pallas XOR-popcount kernel when `use_pallas(True)` was set)."""
+    if _USE_PALLAS:
+        from .pallas_hamming import hamming_matrix_pallas
+        # "axon" = real TPU behind the tunnel transport
+        return hamming_matrix_pallas(
+            desc_a, desc_b,
+            interpret=jax.default_backend() not in ("tpu", "axon"))
     A = unpack_bipolar(desc_a)
     B = unpack_bipolar(desc_b)
     dot = jax.lax.dot_general(
