@@ -128,18 +128,23 @@ def _predict_inside(R_last, t_last, R_prev2, t_prev2, has_vel):
 def _mm_track(cam, bounds, R_pred, t_pred, R_last, t_last, lm_pos, lm_desc,
               lm_dmax, lm_mask, fd, mm_radius, scale_factor, min_inliers,
               stereo, n_levels):
-    """Motion-model stage with narrow+wide fallback sharing ONE Hamming
-    matrix (the descriptor matmul is identical for both radii — only the
-    radius pair mask differs). Keeps the octave gates of SearchByProjection
-    (predicted-level radius + level-window pair mask) — dropping them
-    floods the pose optimizer with cross-level outliers. Light LM schedule
-    (2x6); the local-map stage polishes with the full 4x10."""
+    """Motion-model stage with narrow+wide fallback. Matching runs as the
+    fused pallas gated-match kernel (one pass per radius variant, no
+    [M, N] intermediates) or, with fused match disabled, as ONE shared
+    Hamming matmul + per-variant pair masks. Keeps the octave gates of
+    SearchByProjection (predicted-level radius + level-window pair mask)
+    — dropping them floods the pose optimizer with cross-level outliers.
+    Light LM schedule (2x6); the local-map stage polishes with the full
+    4x10."""
     from ..utils.camera import project
     from ..optim.pose_opt import optimize_pose
+    from ..ops import pallas_match as pmatch
 
-    dist_raw = hm.hamming_matrix(lm_desc, fd.desc)        # ONE matmul
-    base_mask = (lm_mask[:, None]
-                 & (fd.valid & fd.static_mask)[None, :])
+    use_fused = pmatch.fused_match_enabled()
+    kp_ok = fd.valid & fd.static_mask
+    if not use_fused:
+        dist_raw = hm.hamming_matrix(lm_desc, fd.desc)    # ONE matmul
+        base_mask = lm_mask[:, None] & kp_ok[None, :]
 
     def match_and_opt(Rp, tp, radius_mult):
         xc = lm_pos @ Rp.T + tp
@@ -154,10 +159,21 @@ def _mm_track(cam, bounds, R_pred, t_pred, R_last, t_last, lm_pos, lm_desc,
         lvl = jnp.clip(lvl, 0, n_levels - 1)
         radius = mm_radius * radius_mult * \
             scale_factor ** lvl.astype(jnp.float32)
-        pm = hm.radius_pair_mask(uv, fd.xy, radius)
-        pm &= hm.level_pair_mask(lvl, fd.level, -1, 1)
-        dist = jnp.where(base_mask & pm & vis[:, None], dist_raw, hm.INVALID)
-        kp_lm, best, ok = hm.match_nn(dist.T, max_dist=100, ratio=0.9)
+        if use_fused:
+            # fused pallas reduction keeps the SAME octave gates
+            # (radius by predicted level + level window) — see
+            # ops/pallas_match.py
+            kp_lm, best, second = pmatch.gated_match_pallas(
+                fd.desc, fd.xy, fd.level, kp_ok,
+                lm_desc, uv, radius, lvl, vis,
+                interpret=pmatch.match_interpret())
+            ok = pmatch.accept_match(best, second, 100, 0.9)
+        else:
+            pm = hm.radius_pair_mask(uv, fd.xy, radius)
+            pm &= hm.level_pair_mask(lvl, fd.level, -1, 1)
+            dist = jnp.where(base_mask & pm & vis[:, None], dist_raw,
+                             hm.INVALID)
+            kp_lm, best, ok = hm.match_nn(dist.T, max_dist=100, ratio=0.9)
         xw = lm_pos[jnp.clip(kp_lm, 0, lm_pos.shape[0] - 1)]
         inv_s2 = 1.0 / (fd.scale ** 2)
         if stereo:

@@ -74,16 +74,27 @@ def track_against_landmarks(
         else jnp.full(dist.shape, 1.0)
     radius = base_radius * rad_factor * scale_factor ** lvl.astype(jnp.float32)
 
-    # pair gates: [M, N]
-    pm = hm.radius_pair_mask(uv, frame.xy, radius)
-    lvl_ok = hm.level_pair_mask(lvl, frame.level, -1, 1)
-    pair = pm & lvl_ok & visible[:, None]
-    dist_mat = hm.masked_hamming_matrix(
-        lm_desc, lm_mask, frame.desc, frame.valid & frame.static_mask,
-        pair_mask=pair)
     # match from the FRAME side: each keypoint picks its best landmark
-    dT = dist_mat.T                                     # [N, M]
-    kp_lm, best, ok = hm.match_nn(dT, max_dist=max_hamming, ratio=ratio)
+    from ..ops import pallas_match as pmatch
+    kp_ok = frame.valid & frame.static_mask
+    if pmatch.fused_match_enabled():
+        # ONE pallas kernel: distance + gates + top-2, nothing [M, N]-
+        # shaped touches HBM (14x device-time win at [4096, 2048] on
+        # TPU v5e — tools/kernel_bench.py --match)
+        kp_lm, best, second = pmatch.gated_match_pallas(
+            frame.desc, frame.xy, frame.level, kp_ok,
+            lm_desc, uv, radius, lvl, visible,
+            interpret=pmatch.match_interpret())
+        ok = pmatch.accept_match(best, second, max_hamming, ratio)
+    else:
+        # dense masked-matrix path: pair gates [M, N] + top-2
+        pm = hm.radius_pair_mask(uv, frame.xy, radius)
+        lvl_ok = hm.level_pair_mask(lvl, frame.level, -1, 1)
+        pair = pm & lvl_ok & visible[:, None]
+        dist_mat = hm.masked_hamming_matrix(
+            lm_desc, lm_mask, frame.desc, kp_ok, pair_mask=pair)
+        kp_lm, best, ok = hm.match_nn(dist_mat.T, max_dist=max_hamming,
+                                      ratio=ratio)
 
     # pose optimization over matched slots
     xw = lm_pos[jnp.clip(kp_lm, 0, lm_pos.shape[0] - 1)]

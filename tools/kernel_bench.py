@@ -18,12 +18,73 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def bench_match(args, on_tpu):
+    """Fused gated-match pallas kernel vs the dense masked-matrix + top-2
+    XLA sequence (the production tracking-stage reduction) at hot shapes."""
+    import jax
+    import jax.numpy as jnp
+    from slam_dynamic_tpu.ops.pallas_match import (gated_match_pallas,
+                                                   gated_match_xla)
+    rng = np.random.default_rng(0)
+    S = 4
+    L, N = args.L, args.N
+    sets = []
+    for _ in range(S):
+        sets.append(tuple(jnp.asarray(x) for x in (
+            rng.integers(0, 2**32, (N, 8), dtype=np.uint32),
+            rng.uniform(0, 640, (N, 2)).astype(np.float32),
+            rng.integers(0, 8, N).astype(np.int32),
+            rng.uniform(size=N) < 0.9,
+            rng.integers(0, 2**32, (L, 8), dtype=np.uint32),
+            rng.uniform(0, 640, (L, 2)).astype(np.float32),
+            rng.uniform(5, 60, L).astype(np.float32),
+            rng.integers(0, 8, L).astype(np.int32),
+            rng.uniform(size=L) < 0.9)))
+    stacked = tuple(jnp.stack([s[k] for s in sets])
+                    for k in range(9))
+
+    def make_loop(fn, K):
+        @jax.jit
+        def loop(*xs):
+            def body(c, i):
+                a = tuple(x[i % S] for x in xs)
+                idx, best, sec = fn(*a)
+                return c + best.sum() + idx.sum() + sec.sum(), None
+            c, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(K))
+            return c
+        return loop
+
+    def amortized(fn, label, K=32):
+        l1, lK = make_loop(fn, 1), make_loop(fn, K)
+        float(l1(*stacked)); float(lK(*stacked))
+        t1 = min(_time(l1, *stacked) for _ in range(5))
+        tK = min(_time(lK, *stacked) for _ in range(5))
+        per = (tK - t1) / (K - 1) * 1e3
+        print(f"{label:14s} device-time/call ~{per:8.3f} ms "
+              f"(K=1 {t1*1e3:.1f} ms, K={K} {tK*1e3:.1f} ms)")
+        return per
+
+    x_ms = amortized(gated_match_xla, "dense-xla")
+    p_ms = amortized(
+        lambda *a: gated_match_pallas(*a, interpret=not on_tpu), "pallas-fused")
+    print(f"fused-match speedup: {x_ms / max(p_ms, 1e-9):.2f}x "
+          f"[L={L}, N={N}]")
+
+
+def _time(fn, *xs):
+    t0 = time.perf_counter()
+    float(fn(*xs))
+    return time.perf_counter() - t0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--L", type=int, default=4096)
     ap.add_argument("--N", type=int, default=2048)
+    ap.add_argument("--match", action="store_true",
+                    help="bench the fused gated-match kernel instead")
     args = ap.parse_args()
     import jax
     if args.cpu:
@@ -34,6 +95,9 @@ def main():
 
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     print(f"backend={jax.default_backend()} device={jax.devices()[0]}")
+    if args.match:
+        bench_match(args, on_tpu)
+        return
     rng = np.random.default_rng(0)
     n_sets = 8
     a_sets = [jnp.asarray(rng.integers(0, 2**32, (args.L, 8),
