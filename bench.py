@@ -84,6 +84,11 @@ def main():
                     help="bench the dynamic-scene pipeline: moving object "
                          "+ per-frame boxes + fused H/F classification "
                          "(the framework's namesake workload)")
+    ap.add_argument("--multi", type=int, default=0,
+                    help="batched-serving mode: track N sequences as ONE "
+                         "MultiSystem (single chip, one fused device call "
+                         "+ one packed readback per step for all N lanes); "
+                         "reports AGGREGATE frames/s/chip")
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("BENCH_BUDGET_S", "420")),
                     help="watchdog: emit partial JSON and exit after this "
@@ -174,6 +179,9 @@ def main():
         return s.track_rgbd(gray8[i], aux8[i], float(seq.timestamps[i]),
                             detections=det)
 
+    if args.multi and args.multi > 1:
+        return _run_multi(args, scfg, seq, gray8, aux8, cfg, _log)
+
     warm_cfg = cfg.replace(tracking=dataclasses.replace(
         cfg.tracking, max_frames_between_kf=3))
     sys_ = System(warm_cfg)
@@ -228,6 +236,79 @@ def main():
                "value": round(fps, 2), "unit": "fps",
                "vs_baseline": round(fps / 30.0, 3),
                "ate_m": round(ate, 5)}
+    print(json.dumps(out))
+    return 0
+
+
+def _run_multi(args, scfg, seq, gray8, aux8, cfg, _log):
+    """Batched-serving throughput: N lanes in ONE MultiSystem — a single
+    fused device call + one packed [N, 28] readback per step drives all N
+    host state machines (parallel/multi_system.py). Through a latency-
+    bound transport the lanes amortize the per-step round trip, so the
+    AGGREGATE frames/s/chip is the serving-mode headline. Lanes track the
+    same synthetic scene phase-shifted by 3 steps each, desynchronizing
+    keyframe events (a keyframe materializes only its own lane)."""
+    import dataclasses
+    from slam_dynamic_tpu.io.evo import ate_rmse
+    from slam_dynamic_tpu.parallel.multi_system import MultiSystem
+    n = args.multi
+    # warm with a forced keyframe cadence so the KF-event path (lane
+    # gather/scatter, mapping stage, BoW) compiles before the timed window
+    warm_cfg = cfg.replace(tracking=dataclasses.replace(
+        cfg.tracking, max_frames_between_kf=3))
+    ms = MultiSystem(warm_cfg, n, pipeline=True)
+    nf = scfg.n_frames
+    idx = lambda i, b: max(0, min(i - 3 * b, nf - 1))
+
+    def step(i):
+        return ms.track_rgbd_batch(
+            [gray8[idx(i, b)] for b in range(n)],
+            [aux8[idx(i, b)] for b in range(n)],
+            [float(seq.timestamps[idx(i, b)]) for b in range(n)])
+
+    n_warm = min(14, nf - 1)
+    _log(f"multi[{n}] warmup: {n_warm} steps")
+    for i in range(n_warm):
+        step(i)
+        _log(f"warm step {i} done")
+    # restore the real cadence (host-side only; no recompiles)
+    real_cfg = ms.cfg.replace(tracking=dataclasses.replace(
+        ms.cfg.tracking,
+        max_frames_between_kf=cfg.tracking.max_frames_between_kf))
+    ms.cfg = real_cfg
+    for s in ms.systems:
+        s.cfg = real_cfg
+        s.tracker.cfg = real_cfg
+    _log("timed window start")
+    t0 = time.time()
+    with _progress_lock:
+        _progress["t_timed0"] = t0
+    step_times = []
+    for i in range(n_warm, nf):
+        f0 = time.time()
+        step(i)
+        step_times.append(time.time() - f0)
+        with _progress_lock:
+            _progress["frames"] = len(step_times) * n
+    ms.flush()
+    dt = time.time() - t0
+    with _progress_lock:
+        _progress["done"] = True
+    steps = nf - n_warm
+    fps = steps * n / dt
+    st_ms = np.sort(np.asarray(step_times)) * 1e3
+    print(f"[bench] step ms (={n} frames): p50 {np.median(st_ms):.1f} "
+          f"p90 {st_ms[int(len(st_ms)*0.9)]:.1f} max {st_ms[-1]:.1f}",
+          file=sys.stderr)
+    # accuracy: lane 0 runs the unshifted sequence
+    traj = ms.systems[0].trajectory
+    est = np.stack([-R.T @ t for _, R, t in traj])
+    ate = ate_rmse(est, seq.t_wc[:len(est)])
+    out = {"metric": f"aggregate tracked frames/s/chip ({n} lanes, 640x480 "
+                     "RGB-D, batched MultiSystem)",
+           "value": round(fps, 2), "unit": "fps",
+           "vs_baseline": round(fps / 30.0, 3), "ate_m": round(ate, 5),
+           "per_lane_fps": round(fps / n, 2)}
     print(json.dumps(out))
     return 0
 

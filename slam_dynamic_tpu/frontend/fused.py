@@ -364,6 +364,11 @@ def fused_track_step_dyn(
                           height, width, scale_factor, sensor,
                           n_slots=n_slots, depth_scale=depth_scale,
                           depth_stride=depth_stride)
+    # `seed` is a FIXED device constant (uploading a fresh per-frame seed
+    # costs an h2d tunnel trip); per-frame RANSAC sampling variation is
+    # derived on device from the pose, which changes every frame
+    seed = seed + (jnp.abs(t_last) * 8388608.0).sum().astype(jnp.int32) \
+        + (jnp.abs(R_last) * 65536.0).sum().astype(jnp.int32)
     # geometric reclassification vs the reference frame (when available)
     v = classify_boxes(cam, ref_fd, fd, boxes, box_active, n_hyp=n_hyp,
                        seed=seed)

@@ -121,12 +121,14 @@ class Tracker:
         dc = self._scalar_consts()
         if boxes is not None and len(boxes):
             B = cfg.dynamic.max_boxes
-            bxn = np.full((B, 4), -1.0, np.float32)
-            ban = np.zeros(B, bool)
+            pk = np.full((B, 5), -1.0, np.float32)   # x0,y0,x1,y1,active
+            pk[:, 4] = 0.0
             nb = min(len(boxes), B)
-            bxn[:nb] = boxes[:nb]
-            ban[:nb] = box_active[:nb] if box_active is not None else True
-            bx, ba = jnp.asarray(bxn), jnp.asarray(ban)
+            pk[:nb, :4] = boxes[:nb]
+            pk[:nb, 4] = (box_active[:nb] if box_active is not None
+                          else np.ones(nb)).astype(np.float32)
+            arr = jnp.asarray(pk)                    # ONE h2d transfer
+            bx, ba = arr[:, :4], arr[:, 4] > 0
         else:
             bx, ba = dc["bx_empty"], dc["ba_empty"]
         last_ids = self.last_frame.obs_lm

@@ -41,6 +41,20 @@ def _tree_slice(tree, b):
     return jax.tree_util.tree_map(lambda x: x[b], tree)
 
 
+# lane gather/scatter as ONE device call each (a plain tree_map issues one
+# dispatch per leaf — ~30 for a MapState — and each dispatch costs ~5-10 ms
+# through a latency-bound transport; keyframe events do both)
+@jax.jit
+def _read_lane_jit(tree, b):
+    return jax.tree_util.tree_map(lambda x: x[b], tree)
+
+
+@jax.jit
+def _write_lane_jit(tree, lane, b):
+    return jax.tree_util.tree_map(
+        lambda full, one: full.at[b].set(one), tree, lane)
+
+
 class MultiSystem:
     """Track B sequences with one batched device call per frame.
 
@@ -51,7 +65,7 @@ class MultiSystem:
     """
 
     def __init__(self, cfg: SystemConfig, n: int,
-                 mesh=None, dp_axis: str = "dp"):
+                 mesh=None, dp_axis: str = "dp", pipeline: bool = False):
         import dataclasses
         assert cfg.detector.mode == "off", \
             "MultiSystem batches the static-scene path; run dynamic " \
@@ -61,6 +75,13 @@ class MultiSystem:
                                               pipeline_depth=0))
         self.cfg = cfg
         self.n = n
+        # 1-step pipelining: the packed readback of step i finalizes at
+        # step i+1, overlapping the device compute with the next step's
+        # upload (the single-System pipeline_depth=1 semantics, lifted to
+        # the batch: keyframe/lost decisions lag ONE step). Call flush()
+        # before reading trajectories.
+        self.pipeline = pipeline
+        self._pending = None
         self.mesh = mesh
         self._dp = dp_axis
         self.systems: List[System] = [System(cfg) for _ in range(n)]
@@ -75,6 +96,14 @@ class MultiSystem:
         self._map_dirty = [False] * n     # lane map newer than self.maps
         self._consts = None
         self._ref_kf_batch = None   # (tuple of lane ref-kfs, device [n])
+        # recurrent tracking state kept BATCHED on device between steps:
+        # steady-state steps touch it with ZERO per-lane stacks/slices —
+        # through a latency-bound transport every extra dispatch costs
+        # ~5-10 ms, and the old per-step jnp.stack of per-lane handles made
+        # a 4-lane step ~6x slower than the fused call itself
+        self._bst = None          # dict: last_ids/R_last/t_last/R_p2/t_p2/
+        #                           has_vel, all [n, ...] device arrays
+        self._np_last = [None] * n   # (np_R, np_t) per lane for velocity
 
     # ------------------------------------------------------------------
     def _put(self, x):
@@ -85,33 +114,87 @@ class MultiSystem:
             return jax.device_put(x, NamedSharding(self.mesh, spec))
         return x
 
+    def _bi(self, b):
+        """Cached device int32 of a lane index (avoids per-event h2d)."""
+        cache = getattr(self, "_bi_cache", None)
+        if cache is None:
+            import jax.numpy as _jnp
+            cache = self._bi_cache = {
+                i: _jnp.int32(i) for i in range(self.n)}
+        return cache[b]
+
     def _sync_lane_to_batch(self, b):
         if self._map_dirty[b]:
             m = self.systems[b].tracker.map
-            self.maps = jax.tree_util.tree_map(
-                lambda full, one: full.at[b].set(one), self.maps, m)
+            self.maps = _write_lane_jit(self.maps, m, self._bi(b))
             self._map_dirty[b] = False
 
     def _materialize_lane(self, b):
-        """tracker.map <- maps[b] (lazy device slices)."""
+        """tracker.map <- maps[b] (ONE gather call)."""
         tr = self.systems[b].tracker
-        tr.map = _tree_slice(self.maps, b)
+        tr.map = _read_lane_jit(self.maps, self._bi(b))
         tr._kf_pose_cache.clear()
+
+    def _patch_lane_state(self, b):
+        """Write lane b's scalar-tracker recurrent state into the batched
+        device state (called only on lane events: rejoin after fallback,
+        keyframe insert — a few .at[b].set dispatches, never per-step)."""
+        tr = self.systems[b].tracker
+        dc = tr._scalar_consts()
+        st = self._bst
+        lf = tr.last_frame
+        ids = lf.obs_lm if lf.obs_lm is not None else dc["no_obs"]
+        R = jnp.asarray(lf.R)
+        t = jnp.asarray(lf.t)
+        p2 = tr._prev2_pose
+        st["last_ids"] = st["last_ids"].at[b].set(ids)
+        st["R_last"] = st["R_last"].at[b].set(R)
+        st["t_last"] = st["t_last"].at[b].set(t)
+        st["R_p2"] = st["R_p2"].at[b].set(p2[0] if p2 is not None else R)
+        st["t_p2"] = st["t_p2"].at[b].set(p2[1] if p2 is not None else t)
+        st["has_vel"] = st["has_vel"].at[b].set(
+            0.0 if p2 is None else 1.0)
+        self._np_last[b] = (np.asarray(lf.np_R) if lf.np_R is not None
+                            else np.asarray(lf.R),
+                            np.asarray(lf.np_t) if lf.np_t is not None
+                            else np.asarray(lf.t))
+
+    def _init_bstate(self):
+        tr0 = self.systems[0].tracker
+        dc = tr0._scalar_consts()
+        n, N = self.n, self.cfg.capacity.max_keypoints
+        eye = jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
+        z3 = jnp.zeros((n, 3))
+        self._bst = {
+            "last_ids": self._put(jnp.broadcast_to(dc["no_obs"], (n, N))),
+            "R_last": self._put(eye), "t_last": self._put(z3),
+            "R_p2": self._put(eye), "t_p2": self._put(z3),
+            "has_vel": self._put(jnp.zeros(n)),
+        }
+        self._ones = self._put(jnp.ones(n))
 
     # ------------------------------------------------------------------
     def track_rgbd_batch(self, grays: Sequence[np.ndarray],
                          depths: Sequence[np.ndarray],
                          timestamps: Sequence[float]) -> List[TrackStats]:
-        """One RGB-D frame for each of the B lanes."""
-        from ..frontend.fused import fused_track_step_batch, FusedOut
+        """One RGB-D frame for each of the B lanes.
+
+        Steady-state cost per step: ONE stacked image upload, ONE fused
+        batched device call, ONE packed [B, 28] readback. The recurrent
+        state (last observations, last/prev poses) stays batched on
+        device and is rotated by reference — per-lane device work happens
+        only on events (keyframe, lost, fallback rejoin)."""
+        from ..frontend.fused import fused_track_step_batch
         assert len(grays) == self.n
         cfg = self.cfg
         batched: List[int] = []
         stats: List[Optional[TrackStats]] = [None] * self.n
+        if self._bst is None:
+            self._init_bstate()
 
         # lanes outside steady-state run their own scalar path (init,
-        # lost->reloc, mono bootstrap); they write their map back into the
-        # stacked batch before the next batched call
+        # lost->reloc, mono bootstrap); they write their map + recurrent
+        # state back into the batch when they recover
         for b, s in enumerate(self.systems):
             if s.tracker.state == "OK":
                 batched.append(b)
@@ -122,54 +205,42 @@ class MultiSystem:
                                         np.asarray(depths[b]),
                                         float(timestamps[b]))
                 self._sync_lane_to_batch(b)
+                if s.tracker.state == "OK":     # rejoins next step
+                    self._patch_lane_state(b)
         if not batched:
             return stats
 
-        # any lane whose map advanced on the host (KF / loop closure last
-        # frame) flushes into the stacked maps first
-        for b in batched:
-            self._sync_lane_to_batch(b)
-
         t0 = self.systems[batched[0]].tracker
         dc = t0._scalar_consts()
-        H, W = np.asarray(grays[batched[0]]).shape
+        H, W = np.asarray(grays[0]).shape
 
         # the batch ALWAYS spans all n slots (jit shape and the stacked
-        # map batch never change); lanes that fell back this frame have
-        # their inputs repeated from a healthy lane and outputs ignored
-        lanes = list(range(self.n))
-        fill = [b if b in batched else batched[0] for b in lanes]
-        src = [self.systems[f].tracker for f in fill]
-
-        g = self._put(jnp.asarray(np.stack([grays[f] for f in fill])))
-        d = self._put(jnp.asarray(np.stack([depths[f] for f in fill])))
-        last_ids = jnp.stack([
-            tr.last_frame.obs_lm if tr.last_frame.obs_lm is not None
-            else dc["no_obs"] for tr in src])
-        R_last = jnp.stack([jnp.asarray(tr.last_frame.R) for tr in src])
-        t_last = jnp.stack([jnp.asarray(tr.last_frame.t) for tr in src])
-        prev2 = [tr._prev2_pose for tr in src]
-        R_p2 = jnp.stack([p[0] if p is not None else R_last[i]
-                          for i, p in enumerate(prev2)])
-        t_p2 = jnp.stack([p[1] if p is not None else t_last[i]
-                          for i, p in enumerate(prev2)])
-        has_vel = jnp.asarray(np.array(
-            [0.0 if p is None else 1.0 for p in prev2], np.float32))
+        # map batch never change); non-OK lanes compute garbage rows that
+        # are simply ignored (their state rows are re-patched on rejoin)
+        ds = cfg.tracking.depth_stride
+        if cfg.sensor == "rgbd" and ds > 1:
+            # strided depth upload (the batch path is upload-bound through
+            # a latency transport; device samples at the low-res pixel)
+            depths = [np.ascontiguousarray(np.asarray(x)[::ds, ::ds])
+                      for x in depths]
+        g = self._put(jnp.asarray(np.stack(grays)))
+        d = self._put(jnp.asarray(np.stack(depths)))
         B = cfg.dynamic.max_boxes
         bx = jnp.broadcast_to(dc["bx_empty"], (self.n, B, 4))
         ba = jnp.broadcast_to(dc["ba_empty"], (self.n, B))
-        ds = cfg.tracking.depth_stride
         depth_scale = dc["depth_scale"] if np.asarray(
             depths[batched[0]]).dtype == np.uint16 else None
 
-        ref_ks = tuple(max(tr.last_kf_id, 0) for tr in src)
+        ref_ks = tuple(max(s.tracker.last_kf_id, 0) for s in self.systems)
         if self._ref_kf_batch is None or self._ref_kf_batch[0] != ref_ks:
             self._ref_kf_batch = (
                 ref_ks, self._put(jnp.asarray(np.array(ref_ks, np.int32))))
 
+        st = self._bst
         out = fused_track_step_batch(
-            self.maps, t0.cam, t0.bounds, g, d, bx, ba, last_ids,
-            R_last, t_last, R_p2, t_p2, has_vel, self._ref_kf_batch[1],
+            self.maps, t0.cam, t0.bounds, g, d, bx, ba, st["last_ids"],
+            st["R_last"], st["t_last"], st["R_p2"], st["t_p2"],
+            st["has_vel"], self._ref_kf_batch[1],
             orb_cfg=cfg.orb, height=H, width=W,
             mm_radius=dc["mm_radius"], local_radius=dc["local_radius"],
             depth_th=dc["depth_th"], scale_factor=dc["sf"],
@@ -181,43 +252,122 @@ class MultiSystem:
             depth_scale=depth_scale,
             depth_stride=(ds if cfg.sensor == "rgbd" else 1))
 
+        # rotate the batched recurrent state BY REFERENCE (no device ops)
+        self._bst = {
+            "last_ids": out.obs_lm, "R_last": out.R, "t_last": out.t,
+            "R_p2": st["R_last"], "t_p2": st["t_last"],
+            "has_vel": self._ones,
+        }
+
+        step = (out, [float(t) for t in timestamps], ref_ks, batched)
+        if self.pipeline:
+            prev, self._pending = self._pending, step
+            if prev is None:
+                return stats
+            # return the PREVIOUS step's finalized stats (decisions lag 1
+            # step); fallback lanes' stats from THIS step override theirs
+            prev_stats = self._finalize_step(prev)
+            for b in range(self.n):
+                if stats[b] is not None:
+                    prev_stats[b] = stats[b]
+            return prev_stats
+        fin = self._finalize_step(step)
+        for b in range(self.n):
+            if fin[b] is not None:
+                stats[b] = fin[b]
+        return stats
+
+    def flush(self):
+        """Drain the in-flight pipelined step (call before reading
+        trajectories)."""
+        if self._pending is None:
+            return None
+        prev, self._pending = self._pending, None
+        return self._finalize_step(prev)
+
+    def _finalize_step(self, step) -> List[Optional[TrackStats]]:
+        out, ts, ref_ks, batched = step
         # batched landmark-statistics update: one op for every lane
         self.maps = self.maps._replace(lm_visible=out.lm_visible,
                                        lm_found=out.lm_found)
         packed = np.asarray(out.packed)          # the ONE readback [B, 28]
-
+        stats: List[Optional[TrackStats]] = [None] * self.n
         for b in batched:
-            sys_b = self.systems[b]
-            tr = sys_b.tracker
-            tr._prev2_pose = (R_last[b], t_last[b])
-            fd_b = _tree_slice(out.fd, b)
-            frame = Frame(data=fd_b, frame_id=sys_b.frame_id,
-                          timestamp=float(timestamps[b]),
-                          ref_kf=ref_ks[b])
-            out_b = FusedOut(fd=fd_b, obs_lm=out.obs_lm[b], R=out.R[b],
-                             t=out.t[b], lm_visible=None, lm_found=None,
-                             packed=packed[b])
-            # materialize this lane's map only when the host logic will
-            # actually touch it (keyframe or lost transition)
-            n_mm, n_map = int(packed[b][0]), int(packed[b][1])
-            lost = (n_mm < cfg.tracking.min_inliers_track
-                    or n_map < cfg.tracking.min_inliers_localmap)
-            tr.frames_since_kf += 1             # peek the KF decision
-            need_kf = (not tr.localization_only) and not lost and \
-                tr._need_keyframe_counts(n_map, int(packed[b][2]),
-                                         int(packed[b][3]))
-            tr.frames_since_kf -= 1
-            if lost or need_kf:
-                self._materialize_lane(b)
-            pre_map = tr.map
-            stats[b] = tr._post_track(frame, out_b)
-            tr._bookkeep(frame)
+            stats[b] = self._lane_post(b, out, packed[b], ts[b], ref_ks[b])
+        return stats
+
+    def _lane_post(self, b, out, pk, ts, ref_k) -> TrackStats:
+        """Host state machine for one batched lane from its packet row —
+        device work (FrameData slices, map materialization) happens ONLY
+        on keyframe / lost events."""
+        cfg = self.cfg
+        sys_b = self.systems[b]
+        tr = sys_b.tracker
+        n_mm, n_map = int(pk[0]), int(pk[1])
+        np_R = pk[4:13].reshape(3, 3)
+        np_t = pk[13:16]
+        np_Rk = pk[16:25].reshape(3, 3)
+        np_tk = pk[25:28]
+        lost = (n_mm < cfg.tracking.min_inliers_track
+                or n_map < cfg.tracking.min_inliers_localmap)
+
+        def make_frame():
+            fd_b = _read_lane_jit(out.fd, self._bi(b))
+            frame = Frame(data=fd_b, frame_id=sys_b.frame_id, timestamp=ts,
+                          ref_kf=ref_k, np_R=np_R, np_t=np_t,
+                          np_Rk=np_Rk, np_tk=np_tk)
+            frame.R, frame.t = out.R[b], out.t[b]
+            frame.obs_lm = out.obs_lm[b]
+            return frame
+
+        # velocity (host numpy mirror, feeds the scalar path on fallback)
+        last_np = self._np_last[b]
+        if last_np is not None:
+            Rv = np_R @ last_np[0].T
+            tv = np_t - Rv @ last_np[1]
+            tr.velocity = (Rv, tv)
+        self._np_last[b] = (np_R, np_t)
+        # relative-trajectory bookkeeping from the packet's ref-KF pose
+        R_rel = np_R @ np_Rk.T
+        t_rel = np_t - R_rel @ np_tk
+        tr.trajectory.append((ts, ref_k, R_rel, t_rel))
+
+        if lost:
+            tr.state = "LOST"
+            frame = make_frame()            # scalar reloc needs handles
+            tr.last_frame = frame
+            tr._prev2_pose = None
             sys_b.frame_id += 1
-            sys_b._gba_step()
+            return TrackStats("LOST", n_inliers_mm=n_mm,
+                              n_inliers_map=n_map, frame_id=frame.frame_id)
+
+        tr.frames_since_kf += 1
+        st = TrackStats("OK", n_inliers_mm=n_mm, n_inliers_map=n_map,
+                        frame_id=sys_b.frame_id, np_R=np_R, np_t=np_t)
+        if not tr.localization_only and \
+                tr._need_keyframe_counts(n_map, int(pk[2]), int(pk[3])):
+            self._materialize_lane(b)
+            frame = make_frame()
+            tr.last_frame = frame
+            pre_map = tr.map
+            before = tr.n_kf_host
+            tr._create_keyframe(frame, n_map)
+            st.is_keyframe = tr.n_kf_host > before
+            if st.is_keyframe:
+                # the ref-KF id enters the batch from the next dispatch;
+                # the refreshed observation row only in sync mode (in
+                # pipelined mode the batch state has already rotated to a
+                # NEWER frame — same skew as the single-System pipeline)
+                if not self.pipeline:
+                    self._bst["last_ids"] = \
+                        self._bst["last_ids"].at[b].set(frame.obs_lm)
+                self._ref_kf_batch = None
             if tr.map is not pre_map:
                 self._map_dirty[b] = True
                 self._sync_lane_to_batch(b)
-        return stats
+        sys_b.frame_id += 1
+        sys_b._gba_step()
+        return st
 
     # ------------------------------------------------------------------
     def trajectories(self):

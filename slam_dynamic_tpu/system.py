@@ -266,9 +266,17 @@ class System:
         status[:n] = self.boxes.status[:n]
         ref_fd, have_ref = self.dynamics.pick_ref_fd(
             timestamp, self.cfg.capacity.max_keypoints)
+        # per-frame device constants are CACHED (each fresh jnp.asarray is
+        # a separate h2d tunnel trip): status changes only on verdict
+        # flips; the seed is a fixed base — per-frame RANSAC variation is
+        # derived ON DEVICE inside the fused step (fused.py)
+        key = status.tobytes()
+        cached = getattr(self, "_dyn_consts", None)
+        if cached is None or cached[0] != key:
+            self._dyn_consts = cached = (
+                key, jnp.asarray(status), jnp.int32(self.cfg.seed))
         return dict(ref_fd=ref_fd, have_ref=have_ref,
-                    box_status=jnp.asarray(status),
-                    seed=jnp.int32(self.cfg.seed + self.frame_id))
+                    box_status=cached[1], seed=cached[2])
 
     def _dyn_after(self, st, timestamp: float):
         if self.dynamics is None:

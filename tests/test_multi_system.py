@@ -75,6 +75,28 @@ def test_multi_system_matches_independent():
 
 
 @pytest.mark.slow
+def test_multi_system_pipelined():
+    """1-step pipelined batch (readback lags one step) must still produce
+    full-length, accurate trajectories."""
+    seqs = [generate(SynthConfig(**BASE, seed=s)) for s in (0, 3)]
+    scfg = SynthConfig(**BASE)
+    T = seqs[0].gray.shape[0]
+    ms = MultiSystem(_cfg(scfg), n=len(seqs), pipeline=True)
+    for i in range(T):
+        ms.track_rgbd_batch(
+            [seq.gray[i] for seq in seqs],
+            [seq.depth[i] for seq in seqs],
+            [float(seq.timestamps[i]) for seq in seqs])
+    ms.flush()
+    for b, seq in enumerate(seqs):
+        est = _est(ms.systems[b].trajectory)
+        assert len(est) == T
+        ate = ate_rmse(est, seq.t_wc[:T], align=False)
+        assert ate < 0.08, (b, ate)
+        assert ms.systems[b].tracker.state == "OK"
+
+
+@pytest.mark.slow
 def test_multi_system_dp_sharded():
     """Same batch over an explicit 4-device dp mesh."""
     import jax
