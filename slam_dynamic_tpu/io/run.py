@@ -41,12 +41,16 @@ def build_config(args):
 
 
 def make_dataset(args, cfg):
-    from .datasets import TumRGBD, KittiStereo, SyntheticDataset
+    from .datasets import (TumRGBD, KittiStereo, SyntheticDataset,
+                           EurocDataset)
     if args.dataset == "tum":
         return TumRGBD(args.path, cfg.camera.depth_map_factor,
                        boxes_dir=args.boxes, masks_dir=args.masks)
     if args.dataset == "kitti":
         return KittiStereo(args.path, boxes_dir=args.boxes)
+    if args.dataset == "euroc":
+        return EurocDataset(args.path, stereo=(args.sensor == "stereo"),
+                            yaml_path=args.yaml or None)
     from .synthetic import SynthConfig, generate
     s = SynthConfig(n_frames=args.frames,
                     dynamic_object=args.dynamic,
@@ -59,7 +63,8 @@ def make_dataset(args, cfg):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dataset", choices=["synthetic", "tum", "kitti"],
+    ap.add_argument("--dataset",
+                    choices=["synthetic", "tum", "kitti", "euroc"],
                     default="synthetic")
     ap.add_argument("--path", default="")
     ap.add_argument("--yaml", default="")
