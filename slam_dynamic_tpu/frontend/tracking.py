@@ -75,6 +75,7 @@ class Tracker:
         self._kf_pose_cache = {}
         self._dev_consts = None
         self._ref_kf_dev = None   # (host int, device int32) of last_kf_id
+        self._adaptive = None     # lazily resolved: adaptive pipeline depth
         self._prev2_pose = None
         self._zero_aux_cache = None
         import collections
@@ -193,6 +194,19 @@ class Tracker:
             # the blocking readback in _finalize_one is faster.
             st_prev = None
             while len(self._pending) >= cfg.tracking.pipeline_depth:
+                if (self._adaptive_depth() and len(self._pending) <
+                        cfg.tracking.pipeline_depth + 2 and
+                        not self._packet_ready(self._pending[0][1])):
+                    # device still crunching the oldest frame (typically
+                    # the mapping stage of a keyframe) — run one frame
+                    # deeper instead of stalling, exactly the slack the
+                    # reference's async LocalMapping thread has; drains
+                    # back to the configured depth as soon as the packet
+                    # lands (bounded at +2 to cap decision lag).
+                    # DISABLED through the axon tunnel: >1 unsynced frame
+                    # in flight triggers its queue pathology (measured:
+                    # warmup hangs past the watchdog; RESULTS.md).
+                    break
                 st_prev = self._finalize_one()
             self._pending.append((frame, out, dyn is not None))
             self.last_frame = frame                # next dispatch chains here
@@ -204,6 +218,21 @@ class Tracker:
                                             ].astype(np.int32)
         self._bookkeep(frame)
         return st
+
+    def _adaptive_depth(self) -> bool:
+        if self._adaptive is None:
+            from ..ops.pallas_match import _tunneled
+            self._adaptive = not _tunneled()
+        return self._adaptive
+
+    @staticmethod
+    def _packet_ready(out) -> bool:
+        """Non-blocking readiness check of a frame's packed readback;
+        True (finalize now) when the runtime can't tell."""
+        try:
+            return bool(out.packed.is_ready())
+        except Exception:
+            return True
 
     # ------------------------------------------------------------------
     def _finalize_one(self):

@@ -111,11 +111,15 @@ def ba_blocks(terms, w, obs_kf, obs_lm, K: int, L: int):
     return Hcc, Hpp, Wlk, bc, bp
 
 
-def _gn_step(cam, problem: BAProblem, obs_w, lam, stereo):
-    """One damped GN step; returns (dxc [K,6], dxp [L,3])."""
+def _gn_step(cam, problem: BAProblem, obs_w, lam, stereo, terms=None):
+    """One damped GN step; returns (dxc [K,6], dxp [L,3]). Pass `terms`
+    (the reprojection terms at the CURRENT problem) to reuse an existing
+    evaluation — the Jacobian/residual gather is the per-iteration hot
+    spot and callers already have it for the robust weights."""
     K = problem.kf_R.shape[0]
     L = problem.points.shape[0]
-    terms = _ba_terms(cam, problem, stereo)
+    if terms is None:
+        terms = _ba_terms(cam, problem, stereo)
     w = obs_w * (terms.depth > 1e-3)
     Hcc, Hpp, Wlk, bc, bp = ba_blocks(terms, w, problem.obs_kf,
                                       problem.obs_lm, K, L)
@@ -177,13 +181,17 @@ def bundle_adjust(cam: Intrinsics, problem: BAProblem, stereo: bool = False,
     def phase(problem, obs_mask, iters, use_huber):
         def body(i, carry):
             problem, lam = carry
+            # ONE terms evaluation serves the robust weights, the GN
+            # normal equations AND the old-error side of the accept test
+            # (it was recomputed 3x here — the gather+Jacobian eval is
+            # the dominant per-iteration cost at local-BA sizes)
             terms = _ba_terms(cam, problem, stereo)
             w = problem.obs_inv_sigma2 * obs_mask
             if use_huber:
                 w = w * huber_weight(terms.chi2, delta)
-            dxc, dxp = _gn_step(cam, problem, w, lam, stereo)
+            dxc, dxp = _gn_step(cam, problem, w, lam, stereo, terms=terms)
             cand = _apply(problem, dxc, dxp)
-            e_old, _ = _total_error(cam, problem, w, chi2_th, stereo)
+            e_old = jnp.sum(robust_cost(terms.chi2, delta) * w)
             e_new, _ = _total_error(cam, cand, w, chi2_th, stereo)
             good = e_new < e_old
             problem = jax.tree_util.tree_map(
