@@ -192,6 +192,14 @@ class MultiSystem:
         if self._bst is None:
             self._init_bstate()
 
+        early = None
+        if self.pipeline and self._pending is not None and any(
+                s.tracker.state != "OK" for s in self.systems):
+            # a lane is about to run its scalar path, which appends
+            # trajectory entries — drain the in-flight step FIRST so its
+            # (older) entries land in timestamp order
+            early = self.flush()
+
         # lanes outside steady-state run their own scalar path (init,
         # lost->reloc, mono bootstrap); they write their map + recurrent
         # state back into the batch when they recover
@@ -263,6 +271,13 @@ class MultiSystem:
         if self.pipeline:
             prev, self._pending = self._pending, step
             if prev is None:
+                # nothing in flight (first step, or early-flushed above):
+                # report the early-drained stats for lanes this step
+                # didn't cover
+                if early is not None:
+                    for b in range(self.n):
+                        if stats[b] is None:
+                            stats[b] = early[b]
                 return stats
             # return the PREVIOUS step's finalized stats (decisions lag 1
             # step); fallback lanes' stats from THIS step override theirs
@@ -371,4 +386,5 @@ class MultiSystem:
 
     # ------------------------------------------------------------------
     def trajectories(self):
+        self.flush()
         return [s.trajectory for s in self.systems]
