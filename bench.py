@@ -252,6 +252,11 @@ def _run_multi(args, scfg, seq, gray8, aux8, cfg, _log):
     from slam_dynamic_tpu.io.evo import ate_rmse
     from slam_dynamic_tpu.parallel.multi_system import MultiSystem
     n = args.multi
+    if cfg.detector.mode != "off":
+        # MultiSystem batches the static-scene path (per-lane dynamics
+        # carry reference-frame state) — run dynamic scenes single-lane
+        _log("multi mode forces detector off (--dynamic ignored)")
+        cfg = cfg.replace(detector=cfg.detector.__class__(mode="off"))
     # warm with a forced keyframe cadence so the KF-event path (lane
     # gather/scatter, mapping stage, BoW) compiles before the timed window
     warm_cfg = cfg.replace(tracking=dataclasses.replace(

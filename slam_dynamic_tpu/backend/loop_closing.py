@@ -314,7 +314,7 @@ class LoopCloser:
         t0 = m.kf_t
 
         covis = np.asarray(m.covis)
-        e_i, e_j, e_R, e_t, e_w = [], [], [], [], []
+        e_i, e_j, e_s, e_R, e_t, e_w = [], [], [], [], [], []
 
         def add_edge(i, j, w, meas=None):
             """Edge (i, j) with measurement S_ji = S_j o S_i^-1 from current
@@ -325,6 +325,7 @@ class LoopCloser:
                 meas = (1.0, Rm, tm)
             e_i.append(i)
             e_j.append(j)
+            e_s.append(float(meas[0]))
             e_R.append(meas[1])
             e_t.append(meas[2])
             e_w.append(w)
@@ -363,7 +364,12 @@ class LoopCloser:
             s=s0, R=R0, t=t0,
             fixed=jnp.asarray(fixed), valid=m.kf_valid,
             e_i=jnp.asarray(e_i, jnp.int32), e_j=jnp.asarray(e_j, jnp.int32),
-            e_s=jnp.ones(E), e_R=jnp.asarray(np.stack(e_R)),
+            # measured Sim3 scales ride the loop edges (covisibility/
+            # spanning edges are scale-1); with cfg.loop.fix_scale the
+            # optimizer pins s anyway (stereo/RGB-D), mono lets the loop
+            # edge's scale correct drift (ref OptimizeEssentialGraph uses
+            # the full Sim3 measurement, src/Optimizer.cc:826-906)
+            e_s=jnp.asarray(e_s, jnp.float32), e_R=jnp.asarray(np.stack(e_R)),
             e_t=jnp.asarray(np.stack(e_t)), e_valid=jnp.ones(E, bool),
             e_weight=jnp.asarray(e_w, jnp.float32))
         s_new, R_new, t_new = optimize_pose_graph(

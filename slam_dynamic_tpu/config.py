@@ -172,6 +172,10 @@ class VocabularyConfig:
     levels: int = 4                        # 10^4 = 10k words (ref uses 10^6)
     direct_index_level: int = 2            # levels-up analog (ComputeBoW lvl 4 of 6)
     path: Optional[str] = None             # packed .npz vocabulary
+    # False: ignore the shipped synthetic-corpus asset and train from the
+    # first keyframe's own descriptors (scene-adapted words can give
+    # better recall on imagery far from the asset's training corpus)
+    prefer_asset: bool = True
 
 
 @dataclass(frozen=True)

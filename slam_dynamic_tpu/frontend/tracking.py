@@ -538,6 +538,10 @@ class Tracker:
         self.state = "NOT_INITIALIZED"
         self.last_frame = None
         self.velocity = None
+        # pre-reset relative poses reference keyframes that no longer
+        # exist (slots are reused) — exporting them would compose garbage
+        # (ref Tracking::Reset clears mlRelativeFramePoses the same way)
+        self.trajectory = []
         self.last_kf_id = -1
         self.frames_since_kf = 0
         self.last_kf_inliers = 0

@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .hamming import INVALID
+from .pallas_hamming import _popcount_u32
 
 
 # Hot-path switch: None = auto. Auto enables the fused kernel on
@@ -88,13 +89,6 @@ def accept_match(best, second, max_dist, ratio):
     ok = best <= max_dist
     ok &= best.astype(jnp.float32) <= ratio * second.astype(jnp.float32)
     return ok
-
-
-def _popcount_u32(x):
-    x = x - ((x >> 1) & jnp.uint32(0x55555555))
-    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
-    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
-    return ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
 
 
 def _match_kernel(kp_desc_ref, kp_x_ref, kp_y_ref, kp_lvl_ref, kp_ok_ref,

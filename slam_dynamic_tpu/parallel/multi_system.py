@@ -37,10 +37,6 @@ from ..frontend.tracking import TrackStats
 from ..system import System
 
 
-def _tree_slice(tree, b):
-    return jax.tree_util.tree_map(lambda x: x[b], tree)
-
-
 # lane gather/scatter as ONE device call each (a plain tree_map issues one
 # dispatch per leaf — ~30 for a MapState — and each dispatch costs ~5-10 ms
 # through a latency-bound transport; keyframe events do both)
@@ -53,6 +49,14 @@ def _read_lane_jit(tree, b):
 def _write_lane_jit(tree, lane, b):
     return jax.tree_util.tree_map(
         lambda full, one: full.at[b].set(one), tree, lane)
+
+
+@jax.jit
+def _merge_counters_jit(maps, vis, fnd, lane_mask):
+    """Adopt the batched step's landmark counters only for masked lanes."""
+    return maps._replace(
+        lm_visible=jnp.where(lane_mask[:, None], vis, maps.lm_visible),
+        lm_found=jnp.where(lane_mask[:, None], fnd, maps.lm_found))
 
 
 class MultiSystem:
@@ -302,9 +306,22 @@ class MultiSystem:
 
     def _finalize_step(self, step) -> List[Optional[TrackStats]]:
         out, ts, ref_ks, batched = step
-        # batched landmark-statistics update: one op for every lane
-        self.maps = self.maps._replace(lm_visible=out.lm_visible,
-                                       lm_found=out.lm_found)
+        # batched landmark-statistics update — but ONLY for lanes that
+        # were in the batch: fallback lanes' rows were computed from
+        # stale state and overwriting their counters would wrongly drive
+        # found/visible ratios toward culling
+        if len(batched) == self.n:
+            self.maps = self.maps._replace(lm_visible=out.lm_visible,
+                                           lm_found=out.lm_found)
+        else:
+            bset = tuple(sorted(batched))
+            cache = getattr(self, "_bmask_cache", None)
+            if cache is None or cache[0] != bset:
+                m = np.zeros(self.n, bool)
+                m[list(batched)] = True
+                self._bmask_cache = cache = (bset, self._put(jnp.asarray(m)))
+            self.maps = _merge_counters_jit(self.maps, out.lm_visible,
+                                            out.lm_found, cache[1])
         packed = np.asarray(out.packed)          # the ONE readback [B, 28]
         stats: List[Optional[TrackStats]] = [None] * self.n
         for b in batched:

@@ -76,8 +76,11 @@ class System:
             from .models import vocabulary as voc_mod
             # prefer the shipped pretrained asset (tools/train_vocab.py);
             # fall back to lazy training from the first keyframe's
-            # descriptors only if no asset exists
-            apath = voc_mod.default_vocab_path()
+            # descriptors if no asset exists or the config opts out
+            # (cfg.vocabulary.prefer_asset=False trains scene-adapted
+            # words instead)
+            apath = voc_mod.default_vocab_path() \
+                if self.cfg.vocabulary.prefer_asset else None
             if apath is not None:
                 self.voc = voc_mod.load(apath)
             else:
