@@ -146,6 +146,57 @@ def test_edge_residual_zero_at_consistent():
     assert float(jnp.abs(r).max()) < 1e-5
 
 
+def test_pose_graph_corrects_scale_drift():
+    """Mono-style scale drift: estimates carry a compounding scale error;
+    the loop edge's MEASURED Sim3 scale must pull it back when
+    fix_scale=False (the e_s path of backend/loop_closing._correct)."""
+    K = 12
+    t_gt = np.stack([np.arange(K, dtype=np.float32),
+                     np.zeros(K, np.float32),
+                     np.zeros(K, np.float32)], 1)
+    eyeK = jnp.broadcast_to(jnp.eye(3), (K, 3, 3))
+    s_est = 1.06 ** np.arange(K, dtype=np.float32)   # compounding drift
+
+    def g(i, est):
+        s = float(s_est[i]) if est else 1.0
+        return jnp.float32(s), jnp.eye(3), jnp.asarray(t_gt[i] * s)
+
+    e_i, e_j, e_s, e_R, e_t = [], [], [], [], []
+    for i in range(1, K):
+        meas = s3.sim3_compose(*g(i, False),
+                               *s3.sim3_inverse(*g(i - 1, False)))
+        # sequential edges measured from the DRIFTED odometry (scale 1
+        # relative per step is what drifting mono odometry believes)
+        e_i.append(i - 1); e_j.append(i)
+        e_s.append(float(s_est[i] / s_est[i - 1]))
+        e_R.append(np.eye(3, dtype=np.float32))
+        e_t.append(np.asarray(s3.sim3_compose(
+            *g(i, True), *s3.sim3_inverse(*g(i - 1, True)))[2]))
+        del meas
+    # ONE loop edge with the TRUE measured Sim3 (scale 1): K-1 -> 0
+    meas = s3.sim3_compose(*g(0, False), *s3.sim3_inverse(*g(K - 1, False)))
+    e_i.append(K - 1); e_j.append(0)
+    e_s.append(float(meas[0]))
+    e_R.append(np.asarray(meas[1]))
+    e_t.append(np.asarray(meas[2]))
+
+    E = len(e_i)
+    problem = PoseGraphProblem(
+        s=jnp.asarray(s_est), R=eyeK,
+        t=jnp.asarray(t_gt * s_est[:, None]),
+        fixed=jnp.asarray(np.arange(K) == 0), valid=jnp.ones(K, bool),
+        e_i=jnp.asarray(e_i, jnp.int32), e_j=jnp.asarray(e_j, jnp.int32),
+        e_s=jnp.asarray(e_s, jnp.float32),
+        e_R=jnp.asarray(np.stack(e_R)), e_t=jnp.asarray(np.stack(e_t)),
+        e_valid=jnp.ones(E, bool), e_weight=jnp.where(
+            jnp.arange(E) == E - 1, 10.0, 1.0))
+    s_out, R_out, t_out = optimize_pose_graph(problem, iters=30,
+                                              fix_scale=False)
+    err_before = abs(float(s_est[-1]) - 1.0)
+    err_after = abs(float(s_out[-1]) - 1.0)
+    assert err_after < 0.4 * err_before, (err_before, err_after)
+
+
 def test_pose_graph_closes_loop(rng):
     problem, R_gt, t_gt = _make_loop_problem(rng, K=20, drift=0.03)
     # fix measurement convention: edges built as S_ji = g_i o g_j^-1 but the
