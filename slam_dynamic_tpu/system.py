@@ -409,6 +409,16 @@ class System:
                               voc_mod.bow_histogram(bv, self.voc.n_words))
         self.loop.db = db
 
+    def shutdown(self):
+        """Drain all in-flight work (ref System::Shutdown, System.cc:408:
+        the reference joins its threads; here the analogs are the
+        pipelined readback and the amortized post-loop GBA). The System
+        stays queryable (trajectory export, SavePCD) after shutdown,
+        like the reference."""
+        self.tracker.flush()
+        while self._gba is not None:
+            self._gba_step()
+
     def activate_localization_mode(self):
         """Track-only mode (ref System.h:87)."""
         self.tracker.localization_only = True
