@@ -221,8 +221,8 @@ class Tracker:
 
     def _adaptive_depth(self) -> bool:
         if self._adaptive is None:
-            from ..ops.pallas_match import _tunneled
-            self._adaptive = not _tunneled()
+            from ..utils.transport import tunneled
+            self._adaptive = not tunneled()
         return self._adaptive
 
     @staticmethod

@@ -60,22 +60,11 @@ def use_fused_match(enable):
     _USE_FUSED = enable
 
 
-def _tunneled() -> bool:
-    """True when the device is reached through the axon tunnel transport.
-    The axon plugin registers its devices with platform name "tpu", so
-    the backend name cannot discriminate — the requested-platforms config
-    can."""
-    try:
-        plats = jax.config.jax_platforms or ""
-    except AttributeError:      # very old jax
-        plats = ""
-    return "axon" in plats
-
-
 def fused_match_enabled() -> bool:
     if _USE_FUSED is not None:
         return bool(_USE_FUSED)
-    return not _tunneled()
+    from ..utils.transport import tunneled
+    return not tunneled()
 
 
 def match_interpret() -> bool:

@@ -108,6 +108,7 @@ class MultiSystem:
         self._bst = None          # dict: last_ids/R_last/t_last/R_p2/t_p2/
         #                           has_vel, all [n, ...] device arrays
         self._np_last = [None] * n   # (np_R, np_t) per lane for velocity
+        self._boxes_empty = None     # cached [n]-broadcast empty box args
 
     # ------------------------------------------------------------------
     def _put(self, x):
@@ -237,9 +238,12 @@ class MultiSystem:
                       for x in depths]
         g = self._put(jnp.asarray(np.stack(grays)))
         d = self._put(jnp.asarray(np.stack(depths)))
-        B = cfg.dynamic.max_boxes
-        bx = jnp.broadcast_to(dc["bx_empty"], (self.n, B, 4))
-        ba = jnp.broadcast_to(dc["ba_empty"], (self.n, B))
+        if self._boxes_empty is None:
+            B = cfg.dynamic.max_boxes
+            self._boxes_empty = (
+                self._put(jnp.broadcast_to(dc["bx_empty"], (self.n, B, 4))),
+                self._put(jnp.broadcast_to(dc["ba_empty"], (self.n, B))))
+        bx, ba = self._boxes_empty
         depth_scale = dc["depth_scale"] if np.asarray(
             depths[batched[0]]).dtype == np.uint16 else None
 
