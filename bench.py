@@ -97,9 +97,31 @@ def main():
 
     threading.Thread(target=_watchdog, args=(args.budget,),
                      daemon=True).start()
+    cpu_fallback = False
+    if not (args.cpu or args.quick):
+        # a wedged tunnel hangs PJRT client init forever (RESULTS.md
+        # incident notes); probe in a SUBPROCESS so the main process can
+        # still fall back to a clearly-labeled CPU measurement instead of
+        # timing out with no number
+        _log("probing device health (120s subprocess)")
+        import subprocess
+        try:
+            rc = subprocess.call(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.ones(8).sum()))"],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                timeout=120)
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc != 0:
+            _log("DEVICE UNRESPONSIVE — falling back to CPU "
+                 "(metric will say so)")
+            cpu_fallback = True
+            args.frames = min(args.frames, 30)   # fit the watchdog budget
     _log(f"start (watchdog {args.budget:.0f}s); importing jax")
     import jax
-    if args.cpu or args.quick:
+    if args.cpu or args.quick or cpu_fallback:
         jax.config.update("jax_platforms", "cpu")
     # persistent compilation cache: repeat runs (e.g. the driver's bench
     # invocation) skip the multi-minute first-compile of the fused graphs
@@ -232,7 +254,11 @@ def main():
         kind = "stereo" if args.stereo else "RGB-D"
         if args.dynamic:
             kind += " dynamic-scene"
-        out = {"metric": f"tracked frames/s/chip (640x480 {kind}, full SLAM)",
+        label = f"tracked frames/s/chip (640x480 {kind}, full SLAM)"
+        if cpu_fallback:
+            label += (" — CPU FALLBACK, TPU device unresponsive; healthy-"
+                      "device numbers in RESULTS.md")
+        out = {"metric": label,
                "value": round(fps, 2), "unit": "fps",
                "vs_baseline": round(fps / 30.0, 3),
                "ate_m": round(ate, 5)}
