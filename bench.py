@@ -291,8 +291,11 @@ def _run_multi(args, scfg, seq, gray8, aux8, cfg, _log):
     nf = scfg.n_frames
     idx = lambda i, b: max(0, min(i - 3 * b, nf - 1))
 
+    track_batch = (ms.track_stereo_batch if cfg.sensor == "stereo"
+                   else ms.track_rgbd_batch)
+
     def step(i):
-        return ms.track_rgbd_batch(
+        return track_batch(
             [gray8[idx(i, b)] for b in range(n)],
             [aux8[idx(i, b)] for b in range(n)],
             [float(seq.timestamps[idx(i, b)]) for b in range(n)])
@@ -335,8 +338,9 @@ def _run_multi(args, scfg, seq, gray8, aux8, cfg, _log):
     traj = ms.systems[0].trajectory
     est = np.stack([-R.T @ t for _, R, t in traj])
     ate = ate_rmse(est, seq.t_wc[:len(est)])
+    kind = "stereo" if cfg.sensor == "stereo" else "RGB-D"
     out = {"metric": f"aggregate tracked frames/s/chip ({n} lanes, 640x480 "
-                     "RGB-D, batched MultiSystem)",
+                     f"{kind}, batched MultiSystem)",
            "value": round(fps, 2), "unit": "fps",
            "vs_baseline": round(fps / 30.0, 3), "ate_m": round(ate, 5),
            "per_lane_fps": round(fps / n, 2)}
