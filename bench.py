@@ -62,6 +62,34 @@ def _watchdog(budget_s: float):
     os._exit(0)
 
 
+def _restore_jax_cache(_log):
+    """Unpack the committed compile-cache tarball if .jax_cache is empty.
+
+    First-compiles of the fused per-frame graphs through the axon tunnel
+    take minutes — far beyond the watchdog budget — so the persistent
+    XLA compile cache is shipped as `assets/jax_cache.tar.gz` (the
+    .jax_cache directory itself is gitignored and gets cleaned between
+    rounds). Repack after hot-path changes with `tools/pack_jax_cache.py`.
+    """
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    tarball = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "assets", "jax_cache.tar.gz")
+    if os.path.isdir(cache_dir) and os.listdir(cache_dir):
+        return
+    if not os.path.exists(tarball):
+        return
+    import tarfile
+    _log(f"restoring compile cache from {tarball}")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        with tarfile.open(tarball, "r:gz") as tf:
+            tf.extractall(cache_dir, filter="data")
+        _log(f"restored {len(os.listdir(cache_dir))} cache entries")
+    except Exception as e:  # cache is an optimization, never fatal
+        _log(f"cache restore failed (continuing cold): {e}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -119,6 +147,7 @@ def main():
                  "(metric will say so)")
             cpu_fallback = True
             args.frames = min(args.frames, 30)   # fit the watchdog budget
+    _restore_jax_cache(_log)
     _log(f"start (watchdog {args.budget:.0f}s); importing jax")
     import jax
     if args.cpu or args.quick or cpu_fallback:

@@ -47,3 +47,11 @@ def load_tum(path: str):
     q = rows[:, 4:8]  # x y z w
     quat = np.concatenate([q[:, 3:4], q[:, :3]], axis=1)
     return ts, pos, quat
+
+
+def load_kitti(path: str):
+    """Returns (positions [T,3], rotations Rwc [T,3,3]) from a KITTI-format
+    pose file (12 floats of Twc 3x4 row-major per line; no timestamps —
+    KITTI files are frame-indexed, ref System.cc:531)."""
+    rows = np.loadtxt(path).reshape(-1, 3, 4)
+    return rows[:, :, 3], rows[:, :, :3]
