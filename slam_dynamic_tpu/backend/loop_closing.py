@@ -31,17 +31,21 @@ from ..models import vocabulary as voc_mod
 
 
 @jax.jit
-def _detect_device(db: kfdb_mod.KFDatabase, hist, covis, k):
+def _detect_device(db: kfdb_mod.KFDatabase, hist, covis, kf_valid, k):
     """Whole loop-detection scoring in ONE device call -> small packet:
     [best_cand, best_score, covis_row_of_best (K bools as floats)].
     Folds: covisible-set exclusion, min-score from strong covisibles
-    (ref :122), candidate query, best selection."""
+    (ref :122), candidate query, best selection. kf_valid joins the DB's
+    own valid mask so CULLED keyframes (kf_valid flipped off by
+    KeyFrameCulling, whose frozen poses stop receiving BA updates) can
+    never be returned as candidates — the analog of the reference's
+    KeyFrameDatabase::erase called from KeyFrame::SetBadFlag."""
     covis_row = covis[k]
-    exclude = (covis_row > 0)
+    exclude = (covis_row > 0) | ~kf_valid
     exclude = exclude.at[k].set(True)
     # min score among strong covisibles: score of the query against each
     # strong covisible's stored sparse row
-    strong = (covis_row >= 15) & db.valid
+    strong = (covis_row >= 15) & db.valid & kf_valid
     sims, _ = kfdb_mod.scores(db, hist)
     min_score = jnp.min(jnp.where(strong, sims, jnp.inf))
     min_score = jnp.where(jnp.isfinite(min_score), min_score, 0.0)
@@ -184,6 +188,7 @@ class LoopCloser:
         self.consistency: List[set] = []   # candidate groups streak
         self.streaks = {}                  # cand kf -> consecutive count
         self.last_loop_kf = -1000
+        self._last_detect_kf = -1000       # streaks valid only consecutively
 
     # ------------------------------------------------------------------
     def on_keyframe(self, m: MapState, k: int, stereo: bool) -> \
@@ -212,8 +217,14 @@ class LoopCloser:
     def _detect(self, m: MapState, k: int, hist) -> int:
         """BoW candidates excluding covisibles; consistency streak >= th
         (ref DetectLoop :104-231). ONE device call + ONE readback."""
+        # the streak means CONSECUTIVE keyframes (ref mnCovisibilityConsistencyTh):
+        # if detection skipped any keyframe in between (post-closure kf_gap,
+        # warmup gate), stale streaks must not carry over
+        if k != self._last_detect_kf + 1:
+            self.streaks = {}
+        self._last_detect_kf = k
         packet = np.asarray(_detect_device(
-            self.db, hist, m.covis, jnp.int32(k)))
+            self.db, hist, m.covis, m.kf_valid, jnp.int32(k)))
         best = int(packet[0])
         best_score = float(packet[1])
         if best_score <= 0:
@@ -348,13 +359,16 @@ class LoopCloser:
         # persistent loop edges from PREVIOUS closures (ref
         # KeyFrame::mspLoopEdges consumed by OptimizeEssentialGraph,
         # src/Optimizer.cc:826-846): a second loop keeps the first's
-        # constraint instead of letting the graph drift it apart.
+        # constraint instead of letting the graph drift it apart. Like the
+        # reference, the measurement is recomputed from the CURRENT
+        # estimates (Sjw * Swi), NOT the originally measured Sim3 — after
+        # the first correction the poses were renormalized to SE3 (t/s
+        # below), so replaying the stored measurement would re-apply the
+        # already-absorbed scale correction on every later closure (mono).
         for e in range(int(m.n_loop)):
             li, lj = int(m.loop_i[e]), int(m.loop_j[e])
             if bool(m.loop_valid[e]) and valid[li] and valid[lj]:
-                add_edge(li, lj, 10.0,
-                         (float(m.loop_s[e]), np.asarray(m.loop_R[e]),
-                          np.asarray(m.loop_t[e])))
+                add_edge(li, lj, 10.0)
 
         E = len(e_i)
         fixed = np.zeros(K, bool)

@@ -76,7 +76,10 @@ def relocalize(m: MapState, db: kfdb_mod.KFDatabase, voc, cam, frame_data,
     """Try to relocalize a lost frame. Returns (ok, R, t, obs_lm[N])."""
     bv = voc_mod.transform(voc, frame_data.desc, frame_data.valid)
     hist = voc_mod.bow_histogram(bv, voc.n_words)
-    cand = kfdb_mod.query(db, hist, m.covis, jnp.zeros_like(db.valid))
+    # exclude CULLED keyframes (kf_valid off): their DB rows stay stored
+    # but their frozen poses stopped receiving BA updates at cull time
+    # (ref KeyFrameDatabase::erase from KeyFrame::SetBadFlag)
+    cand = kfdb_mod.query(db, hist, m.covis, ~m.kf_valid)
     scores = np.asarray(cand.score)
     order = np.argsort(-scores)[:max_candidates]
     for rank, k in enumerate(order):

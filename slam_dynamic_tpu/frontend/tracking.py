@@ -49,6 +49,10 @@ class TrackStats:
     #                           frame by pipeline_depth in pipelined mode)
     np_R: object = None       # finalized camera pose (host numpy)
     np_t: object = None
+    drained_prev: object = None  # MultiSystem pipelined mode: when a lane
+    #                           event forced an early drain, the drained
+    #                           step's finalized stats for this lane ride
+    #                           here so keyframe/LOST flags aren't lost
 
 
 class Tracker:

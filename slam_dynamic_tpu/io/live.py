@@ -29,7 +29,6 @@ from __future__ import annotations
 import socket
 import struct
 import threading
-import time
 from typing import Optional
 
 import numpy as np
@@ -114,6 +113,11 @@ class FramePairer:
         return None
 
 
+#: returned by LatestWins.get when the wait timed out but the stream is
+#: still open (distinct from None = stream closed and drained)
+TIMEOUT = object()
+
+
 class LatestWins:
     """1-deep inbox: publishing replaces any undelivered item (the ROS
     queue_size=1 drop policy). Thread-safe."""
@@ -137,11 +141,13 @@ class LatestWins:
             self._cv.notify()
 
     def get(self, timeout=None):
+        """Next item; None once the stream is closed AND drained; the
+        TIMEOUT sentinel if `timeout` elapsed with the stream still open."""
         with self._cv:
             if not self._cv.wait_for(
                     lambda: self._item is not None or self._closed,
                     timeout=timeout):
-                return None
+                return TIMEOUT
             item, self._item = self._item, None
             return item
 
@@ -160,7 +166,6 @@ class LiveTracker:
         self._srv = socket.create_server((host, port))
         self.port = self._srv.getsockname()[1]
         self._rx = threading.Thread(target=self._recv_loop, daemon=True)
-        self._done = threading.Event()
 
     def _recv_loop(self):
         try:
@@ -181,14 +186,20 @@ class LiveTracker:
             self.inbox.close()
 
     def run(self, max_frames: Optional[int] = None,
-            idle_timeout: float = 10.0):
-        """Track until the stream closes (or max_frames). Frames that
-        arrive while the tracker is busy are dropped latest-wins."""
+            idle_timeout: Optional[float] = None):
+        """Track until the stream CLOSES (or max_frames). Frames that
+        arrive while the tracker is busy are dropped latest-wins. Like a
+        ROS node, the server waits indefinitely through quiet spells
+        (slow sensor, operator not connected yet); `idle_timeout` is an
+        optional watchdog that gives up after that many seconds without
+        any frame."""
         self._rx.start()
         while True:
             item = self.inbox.get(timeout=idle_timeout)
+            if item is TIMEOUT:
+                break                    # explicit watchdog expired
             if item is None:
-                break
+                break                    # stream closed and drained
             ts, primary, secondary = item
             if self.sensor == "rgbd":
                 st = self.system.track_rgbd(primary, secondary, ts)
@@ -200,7 +211,6 @@ class LiveTracker:
             self.stats.append(st)
             if max_frames is not None and self.n_tracked >= max_frames:
                 break
-        self._done.set()
         self._srv.close()
         return self.n_tracked
 

@@ -59,6 +59,12 @@ def _merge_counters_jit(maps, vis, fnd, lane_mask):
         lm_found=jnp.where(lane_mask[:, None], fnd, maps.lm_found))
 
 
+@jax.jit
+def _csrc_refresh_jit(vis, fnd, mvis, mfnd, b):
+    """Reset lane b's counter-chain rows from the authoritative map."""
+    return vis.at[b].set(mvis[b]), fnd.at[b].set(mfnd[b])
+
+
 class MultiSystem:
     """Track B sequences with one batched device call per frame.
 
@@ -109,6 +115,12 @@ class MultiSystem:
         #                           has_vel, all [n, ...] device arrays
         self._np_last = [None] * n   # (np_R, np_t) per lane for velocity
         self._boxes_empty = None     # cached [n]-broadcast empty box args
+        # landmark-counter chain for dispatch: in pipelined mode the
+        # in-flight step's OUTPUT counters feed the next dispatch (the
+        # data dependency already exists through the recurrent state), so
+        # the accumulation is C_i = C_{i-1} + b_i instead of the lossy
+        # C_i = C_{i-2} + b_i that adopting finalize-time counters gives
+        self._csrc = None            # (lm_visible, lm_found) for dispatch
 
     # ------------------------------------------------------------------
     def _put(self, x):
@@ -133,6 +145,13 @@ class MultiSystem:
             m = self.systems[b].tracker.map
             self.maps = _write_lane_jit(self.maps, m, self._bi(b))
             self._map_dirty[b] = False
+            if self._csrc is not None:
+                # the counter chain must restart from the lane's new
+                # authoritative map row (KF inserts initialize new
+                # landmarks' counters; scalar steps bumped them directly)
+                self._csrc = _csrc_refresh_jit(
+                    self._csrc[0], self._csrc[1],
+                    self.maps.lm_visible, self.maps.lm_found, self._bi(b))
 
     def _materialize_lane(self, b):
         """tracker.map <- maps[b] (ONE gather call)."""
@@ -271,8 +290,12 @@ class MultiSystem:
                 ref_ks, self._put(jnp.asarray(np.array(ref_ks, np.int32))))
 
         st = self._bst
+        if self._csrc is None:
+            self._csrc = (self.maps.lm_visible, self.maps.lm_found)
+        maps_in = self.maps._replace(lm_visible=self._csrc[0],
+                                     lm_found=self._csrc[1])
         out = fused_track_step_batch(
-            self.maps, t0.cam, t0.bounds, g, d, bx, ba, st["last_ids"],
+            maps_in, t0.cam, t0.bounds, g, d, bx, ba, st["last_ids"],
             st["R_last"], st["t_last"], st["R_p2"], st["t_p2"],
             st["has_vel"], self._ref_kf_batch[1],
             orb_cfg=cfg.orb, height=H, width=W,
@@ -292,6 +315,10 @@ class MultiSystem:
             "R_p2": st["R_last"], "t_p2": st["t_last"],
             "has_vel": self._ones,
         }
+        # counter chain: next dispatch continues from THIS step's output
+        # (non-OK lanes' rows are garbage; their next _sync_lane_to_batch
+        # refreshes them from the authoritative map before the next use)
+        self._csrc = (out.lm_visible, out.lm_found)
 
         step = (out, [float(t) for t in timestamps], ref_ks, batched)
         if self.pipeline:
@@ -299,11 +326,16 @@ class MultiSystem:
             if prev is None:
                 # nothing in flight (first step, or early-flushed above):
                 # report the early-drained stats for lanes this step
-                # didn't cover
+                # didn't cover; lanes that ran the scalar fallback THIS
+                # step keep their own stats and carry the drained step's
+                # stats in drained_prev (so is_keyframe/LOST flags of the
+                # drained frame are never silently dropped)
                 if early is not None:
                     for b in range(self.n):
                         if stats[b] is None:
                             stats[b] = early[b]
+                        elif early[b] is not None:
+                            stats[b].drained_prev = early[b]
                 return stats
             # return the PREVIOUS step's finalized stats (decisions lag 1
             # step); fallback lanes' stats from THIS step override theirs
@@ -398,6 +430,37 @@ class MultiSystem:
         tr.frames_since_kf += 1
         st = TrackStats("OK", n_inliers_mm=n_mm, n_inliers_map=n_map,
                         frame_id=sys_b.frame_id, np_R=np_R, np_t=np_t)
+        if tr.localization_only:
+            # VO-mode dual-hypothesis arbitration, same as the scalar
+            # path (tracking.py _post_track, ref Tracking.cc:728-766):
+            # while map tracking is weak, also relocalize and PREFER that
+            # solution over the drifting motion-model pose
+            relocated = False
+            if tr.vo_mode and tr.relocalizer is not None:
+                self._materialize_lane(b)
+                frame = make_frame()
+                tr.last_frame = frame
+                ok_r, Rr, tr_r, obs = tr.relocalizer(frame)
+                if ok_r:
+                    r_R = np.asarray(Rr, np.float32)
+                    r_t = np.asarray(tr_r, np.float32)
+                    frame.R = jnp.asarray(r_R)
+                    frame.t = jnp.asarray(r_t)
+                    frame.np_R, frame.np_t = r_R, r_t
+                    if obs is not None:
+                        frame.obs_lm = obs
+                    st.np_R, st.np_t = r_R, r_t
+                    tr._prev2_pose = None        # velocity invalid now
+                    # this frame's trajectory entry and the batched
+                    # recurrent state must follow the preferred pose
+                    R_rel = r_R @ np_Rk.T
+                    t_rel = r_t - R_rel @ np_tk
+                    tr.trajectory[-1] = (ts, ref_k, R_rel, t_rel)
+                    self._np_last[b] = (r_R, r_t)
+                    self._patch_lane_state(b)
+                    relocated = True             # ref: mbVO = false
+            tr.vo_mode = (not relocated and
+                          n_map < cfg.tracking.vo_mode_inliers)
         if not tr.localization_only and \
                 tr._need_keyframe_counts(n_map, int(pk[2]), int(pk[3])):
             self._materialize_lane(b)
@@ -420,7 +483,18 @@ class MultiSystem:
                 self._map_dirty[b] = True
                 self._sync_lane_to_batch(b)
         sys_b.frame_id += 1
-        sys_b._gba_step()
+        if sys_b._gba is not None:
+            # the amortized GBA merge must apply to the lane's CURRENT map
+            # and its correction must be written back into the batch —
+            # otherwise the next lane event's _materialize_lane would
+            # clobber tracker.map with the uncorrected batch copy and the
+            # whole post-loop global BA would be silently discarded
+            self._materialize_lane(b)
+            pre = tr.map
+            sys_b._gba_step()
+            if tr.map is not pre:
+                self._map_dirty[b] = True
+                self._sync_lane_to_batch(b)
         return st
 
     # ------------------------------------------------------------------
