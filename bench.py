@@ -131,17 +131,25 @@ def main():
         # incident notes); probe in a SUBPROCESS so the main process can
         # still fall back to a clearly-labeled CPU measurement instead of
         # timing out with no number
-        _log("probing device health (120s subprocess)")
+        # two attempts: a single marginal timeout (e.g. CPU contention
+        # slowing client init, or the tunnel server timing out a dead
+        # client) must not demote a healthy device to the CPU fallback
         import subprocess
-        try:
-            rc = subprocess.call(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp;"
-                 "print(float(jnp.ones(8).sum()))"],
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                timeout=120)
-        except subprocess.TimeoutExpired:
-            rc = -1
+        rc = -1
+        for attempt, probe_s in enumerate((150, 90)):
+            _log(f"probing device health (attempt {attempt + 1}, "
+                 f"{probe_s}s subprocess)")
+            try:
+                rc = subprocess.call(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp;"
+                     "print(float(jnp.ones(8).sum()))"],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                    timeout=probe_s)
+            except subprocess.TimeoutExpired:
+                rc = -1
+            if rc == 0:
+                break
         if rc != 0:
             _log("DEVICE UNRESPONSIVE — falling back to CPU "
                  "(metric will say so)")

@@ -61,6 +61,20 @@ def make_dataset(args, cfg):
                             stereo=(args.sensor == "stereo"))
 
 
+def _write_synth_groundtruth(path: str, seq):
+    """TUM-format ground truth from the synthetic world's exact poses
+    (R_wc/t_wc are already world-from-camera — no inversion)."""
+    import jax.numpy as jnp
+    from ..utils import se3
+    with open(path, "w") as f:
+        for i in range(len(seq.timestamps)):
+            q = np.asarray(se3.quat_from_rot(jnp.asarray(seq.R_wc[i])))
+            t = seq.t_wc[i]
+            f.write(f"{float(seq.timestamps[i]):.6f} "
+                    f"{t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                    f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset",
@@ -160,6 +174,25 @@ def main(argv=None):
         "keyframes": int(sys_.tracker.map.n_kf),
         "landmarks": int(sys_.tracker.map.n_lm),
     }
+    if args.dataset == "synthetic":
+        # the synthetic world has exact ground truth: export it in TUM
+        # format so the full evo protocol (`io.evo ape tum est gt`) closes
+        # end-to-end on a CLI run, and report ATE in the summary
+        gt_path = os.path.join(args.out, "groundtruth.txt")
+        _write_synth_groundtruth(gt_path, data.seq)
+        try:
+            from .evo import ate_rmse, associate, _load
+            est_t, est_p, _ = _load(
+                os.path.join(args.out, "FrameTrajectory.txt"), "tum")
+            gt_t, gt_p, _ = _load(gt_path, "tum")
+            ia, ib = associate(est_t, gt_t)
+            if len(ia) >= 3:
+                summary["ate_m"] = round(
+                    float(ate_rmse(est_p[ia], gt_p[ib])), 5)
+                summary["ate_unaligned_m"] = round(
+                    float(ate_rmse(est_p[ia], gt_p[ib], align=False)), 5)
+        except Exception as e:   # evaluation must never fail the run
+            summary["ate_error"] = str(e)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
