@@ -239,7 +239,8 @@ def main():
                             detections=det)
 
     if args.multi and args.multi > 1:
-        return _run_multi(args, scfg, seq, gray8, aux8, cfg, _log)
+        return _run_multi(args, scfg, seq, gray8, aux8, cfg, _log,
+                          cpu_fallback)
 
     warm_cfg = cfg.replace(tracking=dataclasses.replace(
         cfg.tracking, max_frames_between_kf=3))
@@ -299,11 +300,14 @@ def main():
                "value": round(fps, 2), "unit": "fps",
                "vs_baseline": round(fps / 30.0, 3),
                "ate_m": round(ate, 5)}
+    if cpu_fallback:
+        out["cpu_fallback"] = True
     print(json.dumps(out))
     return 0
 
 
-def _run_multi(args, scfg, seq, gray8, aux8, cfg, _log):
+def _run_multi(args, scfg, seq, gray8, aux8, cfg, _log,
+               cpu_fallback=False):
     """Batched-serving throughput: N lanes in ONE MultiSystem — a single
     fused device call + one packed [N, 28] readback per step drives all N
     host state machines (parallel/multi_system.py). Through a latency-
@@ -376,11 +380,17 @@ def _run_multi(args, scfg, seq, gray8, aux8, cfg, _log):
     est = np.stack([-R.T @ t for _, R, t in traj])
     ate = ate_rmse(est, seq.t_wc[:len(est)])
     kind = "stereo" if cfg.sensor == "stereo" else "RGB-D"
-    out = {"metric": f"aggregate tracked frames/s/chip ({n} lanes, 640x480 "
-                     f"{kind}, batched MultiSystem)",
+    label = (f"aggregate tracked frames/s/chip ({n} lanes, 640x480 "
+             f"{kind}, batched MultiSystem)")
+    if cpu_fallback:
+        label += (" — CPU FALLBACK, TPU device unresponsive; healthy-"
+                  "device numbers in RESULTS.md")
+    out = {"metric": label,
            "value": round(fps, 2), "unit": "fps",
            "vs_baseline": round(fps / 30.0, 3), "ate_m": round(ate, 5),
            "per_lane_fps": round(fps / n, 2)}
+    if cpu_fallback:
+        out["cpu_fallback"] = True
     print(json.dumps(out))
     return 0
 
