@@ -112,6 +112,11 @@ def main():
                     help="bench the dynamic-scene pipeline: moving object "
                          "+ per-frame boxes + fused H/F classification "
                          "(the framework's namesake workload)")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="temporal chunking: track N consecutive frames "
+                         "per device call (ONE upload + ONE packed "
+                         "readback per N frames) — the offline/dataset-"
+                         "throughput mode; decisions lag one chunk")
     ap.add_argument("--multi", type=int, default=0,
                     help="batched-serving mode: track N sequences as ONE "
                          "MultiSystem (single chip, one fused device call "
@@ -241,6 +246,9 @@ def main():
     if args.multi and args.multi > 1:
         return _run_multi(args, scfg, seq, gray8, aux8, cfg, _log,
                           cpu_fallback)
+    if args.chunk and args.chunk > 1:
+        return _run_chunk(args, scfg, seq, gray8, aux8, cfg, _log,
+                          cpu_fallback)
 
     warm_cfg = cfg.replace(tracking=dataclasses.replace(
         cfg.tracking, max_frames_between_kf=3))
@@ -300,6 +308,81 @@ def main():
                "value": round(fps, 2), "unit": "fps",
                "vs_baseline": round(fps / 30.0, 3),
                "ate_m": round(ate, 5)}
+    if cpu_fallback:
+        out["cpu_fallback"] = True
+    print(json.dumps(out))
+    return 0
+
+
+def _run_chunk(args, scfg, seq, gray8, aux8, cfg, _log, cpu_fallback=False):
+    """Temporal-chunking throughput: C consecutive frames per device call
+    (Tracker.step_images_chunk) — ONE upload + ONE packed [C, 28]
+    readback per C frames. The single-sequence offline/dataset-processing
+    headline: through a latency-bound transport the per-frame round-trip
+    cost divides by C."""
+    import dataclasses
+    from slam_dynamic_tpu.io.evo import ate_rmse
+    from slam_dynamic_tpu.system import System
+    C = args.chunk
+    nf = scfg.n_frames
+    warm_cfg = cfg.replace(tracking=dataclasses.replace(
+        cfg.tracking, max_frames_between_kf=3))
+    sys_ = System(warm_cfg)
+    ts = [float(t) for t in seq.timestamps]
+    # bootstrap per-frame until tracking is OK, then chunk
+    i = 0
+    while sys_.tracker.state != "OK" and i < 6:
+        sys_.track_rgbd(gray8[i], aux8[i], ts[i])
+        i += 1
+    n_warm_steps = max(0, min(3, (nf - i) // C - 1))
+    _log(f"chunk[{C}] warmup: {n_warm_steps} chunked steps")
+    for w in range(n_warm_steps):
+        sys_.track_chunk([gray8[i + j] for j in range(C)],
+                         [aux8[i + j] for j in range(C)],
+                         [ts[i + j] for j in range(C)])
+        i += C
+        _log(f"warm chunk {w} done")
+    real_cfg = sys_.cfg.replace(tracking=dataclasses.replace(
+        sys_.cfg.tracking,
+        max_frames_between_kf=cfg.tracking.max_frames_between_kf))
+    sys_.cfg = real_cfg
+    sys_.tracker.cfg = real_cfg
+    _log("timed window start")
+    t0 = time.time()
+    with _progress_lock:
+        _progress["t_timed0"] = t0
+    step_times = []
+    n_timed = 0
+    while i + C <= nf:
+        f0 = time.time()
+        sys_.track_chunk([gray8[i + j] for j in range(C)],
+                         [aux8[i + j] for j in range(C)],
+                         [ts[i + j] for j in range(C)])
+        step_times.append(time.time() - f0)
+        i += C
+        n_timed += C
+        with _progress_lock:
+            _progress["frames"] = n_timed
+    sys_.tracker.flush()
+    dt = time.time() - t0
+    with _progress_lock:
+        _progress["done"] = True
+    fps = n_timed / dt
+    st_ms = np.sort(np.asarray(step_times)) * 1e3
+    print(f"[bench] chunk ms (={C} frames): p50 {np.median(st_ms):.1f} "
+          f"p90 {st_ms[int(len(st_ms)*0.9)]:.1f} max {st_ms[-1]:.1f}",
+          file=sys.stderr)
+    traj = sys_.trajectory
+    est = np.stack([-R.T @ t for _, R, t in traj])
+    ate = ate_rmse(est, seq.t_wc[:len(est)])
+    kind = "stereo" if cfg.sensor == "stereo" else "RGB-D"
+    label = (f"tracked frames/s/chip (chunk={C} frames/call, 640x480 "
+             f"{kind}, full SLAM)")
+    if cpu_fallback:
+        label += (" — CPU FALLBACK, TPU device unresponsive; healthy-"
+                  "device numbers in RESULTS.md")
+    out = {"metric": label, "value": round(fps, 2), "unit": "fps",
+           "vs_baseline": round(fps / 30.0, 3), "ate_m": round(ate, 5)}
     if cpu_fallback:
         out["cpu_fallback"] = True
     print(json.dumps(out))

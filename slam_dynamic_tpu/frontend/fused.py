@@ -321,6 +321,67 @@ def fused_track_step_batch(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("orb_cfg", "height", "width", "sensor",
+                     "max_kf", "max_lm", "n_levels", "n_slots",
+                     "depth_stride", "chunk"))
+def fused_track_chunk(
+        m: MapState, cam: Intrinsics, bounds, images, auxs,
+        boxes, box_active,
+        last_obs_lm, R_last, t_last, R_prev2, t_prev2, has_vel, ref_kf,
+        orb_cfg: ORBConfig, height: int, width: int,
+        mm_radius, local_radius, depth_th, scale_factor,
+        min_inliers_track,
+        sensor: str = "rgbd", max_kf: int = 16, max_lm: int = 4096,
+        n_levels: int = 8, n_slots: int = 0,
+        depth_scale=None, depth_stride: int = 1, chunk: int = 2):
+    """Temporal chunking: C CONSECUTIVE frames tracked in ONE device call.
+
+    Through a latency-bound transport (the axon tunnel: ~30 ms per
+    readback regardless of payload) the per-frame cost of the one-call
+    pipeline is dominated by the round trip, not compute. Chunking C
+    frames amortizes ONE upload + ONE packed [C, 28] readback across C
+    frames — the single-sequence analog of MultiSystem's lane batching.
+
+    Frames chain ON DEVICE exactly as they do across calls: frame j+1
+    uses frame j's optimized pose as its motion-model base, frame j's
+    matched landmark ids as its last-frame observations, and the
+    landmark visible/found counters carry through the chunk. The map
+    snapshot (keyframes/landmarks) is fixed for the whole chunk, so
+    keyframe decisions lag up to C-1 frames — the same one-sided lag the
+    reference's async LocalMapping thread has (SURVEY §2.4), just wider.
+
+    images: [C, H, W]; auxs: [C, ...] (depth / right / ignored);
+    boxes: [C, B, 4]; box_active: [C, B]. Returns a list of C FusedOut
+    (device handles; .packed of all C frames is also returned stacked as
+    the second element for ONE readback).
+    """
+    stereo = sensor in ("rgbd", "stereo")
+    outs = []
+    obs, Rl, tl, Rp2, tp2, hv = (last_obs_lm, R_last, t_last,
+                                 R_prev2, t_prev2, has_vel)
+    mm = m
+    for j in range(chunk):
+        fd = build_frame_data(cam, images[j], auxs[j], boxes[j],
+                              box_active[j], orb_cfg, height, width,
+                              scale_factor, sensor, n_slots=n_slots,
+                              depth_scale=depth_scale,
+                              depth_stride=depth_stride)
+        R_pred, t_pred = _predict_inside(Rl, tl, Rp2, tp2, hv)
+        out = _track_stages(mm, cam, bounds, fd, obs, R_pred, t_pred,
+                            Rl, tl, ref_kf, mm_radius, local_radius,
+                            depth_th, scale_factor, min_inliers_track,
+                            stereo, max_kf, max_lm, n_levels)
+        outs.append(out)
+        # chain: landmark stat counters + last-frame state ride on device
+        mm = mm._replace(lm_visible=out.lm_visible, lm_found=out.lm_found)
+        obs, Rp2, tp2, Rl, tl = out.obs_lm, Rl, tl, out.R, out.t
+        hv = jnp.float32(1.0)
+    packed = jnp.stack([o.packed for o in outs])
+    return outs, packed
+
+
+@functools.partial(
     jax.jit, static_argnames=("stereo", "max_kf", "max_lm", "n_levels"))
 def fused_track_prebuilt(
         m: MapState, cam: Intrinsics, bounds, fd: FrameData,

@@ -38,6 +38,35 @@ def _gather_lm(m: MapState, ids, mask):
             m.lm_dist_min[idc], m.lm_dist_max[idc], ok)
 
 
+class _ChunkPacket:
+    """ONE readback shared by a chunk's frames: the [C, 28] packet is
+    materialized on first access and cached for the other rows."""
+
+    def __init__(self, dev):
+        self.dev = dev
+        self._np = None
+
+    def get(self):
+        if self._np is None:
+            self._np = np.asarray(self.dev)
+        return self._np
+
+
+class _PacketRow:
+    """A frame's view of its chunk's shared packet (np.asarray-able)."""
+
+    def __init__(self, shared: _ChunkPacket, j: int):
+        self._shared = shared
+        self._j = j
+
+    def __array__(self, dtype=None, copy=None):
+        row = self._shared.get()[self._j]
+        return row.astype(dtype) if dtype is not None else row
+
+    def is_ready(self) -> bool:
+        return self._shared._np is not None or self._shared.dev.is_ready()
+
+
 @dataclasses.dataclass
 class TrackStats:
     state: str
@@ -222,6 +251,118 @@ class Tracker:
                                             ].astype(np.int32)
         self._bookkeep(frame)
         return st
+
+    def step_images_chunk(self, frames) -> list:
+        """Temporal chunking: C consecutive frames in ONE device call +
+        ONE packed [C, 28] readback (fused.fused_track_chunk) — the
+        single-sequence analog of MultiSystem's lane batching for
+        latency-bound transports. Decisions (keyframes, LOST) lag one
+        chunk, the reference's async-LocalMapping lag widened to C.
+
+        `frames`: list of (gray, aux, boxes, box_active, frame_id,
+        timestamp). Static path (no fused dynamic classification).
+        Returns finalized TrackStats of frames that completed readback
+        this call (usually the PREVIOUS chunk's)."""
+        if self.state != "OK" or len(frames) == 1:
+            return [self.step_images(g, a, bx, ba, fid, ts)
+                    for (g, a, bx, ba, fid, ts) in frames]
+        from .fused import fused_track_chunk
+        cfg = self.cfg
+        dc = self._scalar_consts()
+        C = len(frames)
+        H, W = frames[0][0].shape
+        B = cfg.dynamic.max_boxes
+        ds = cfg.tracking.depth_stride if cfg.sensor == "rgbd" else 1
+
+        g_stack = jnp.asarray(np.stack([f[0] for f in frames]))
+        if frames[0][1] is None:
+            aux_stack = self._zero_aux((C, H, W))
+            depth_scale = None
+        else:
+            auxs = [f[1][::ds, ::ds] if ds > 1 else f[1] for f in frames]
+            aux_np = np.ascontiguousarray(np.stack(auxs))
+            aux_stack = jnp.asarray(aux_np)
+            depth_scale = (dc["depth_scale"]
+                           if cfg.sensor == "rgbd"
+                           and aux_np.dtype == np.uint16 else None)
+        any_boxes = any(f[2] is not None and len(f[2]) for f in frames)
+        if any_boxes:
+            pk = np.full((C, B, 5), -1.0, np.float32)
+            pk[:, :, 4] = 0.0
+            for j, (_, _, bx, ba, _, _) in enumerate(frames):
+                if bx is None or not len(bx):
+                    continue
+                nb = min(len(bx), B)
+                pk[j, :nb, :4] = bx[:nb]
+                pk[j, :nb, 4] = (ba[:nb] if ba is not None
+                                 else np.ones(nb)).astype(np.float32)
+            arr = jnp.asarray(pk)
+            bx_stack, ba_stack = arr[:, :, :4], arr[:, :, 4] > 0
+        else:
+            key = ("chunk_empty_boxes", C)
+            if key not in self._dev_consts:
+                self._dev_consts[key] = (
+                    jnp.full((C, B, 4), -1.0, jnp.float32),
+                    jnp.zeros((C, B), bool))
+            bx_stack, ba_stack = self._dev_consts[key]
+
+        last_ids = self.last_frame.obs_lm
+        if last_ids is None:
+            last_ids = dc["no_obs"]
+        R_last, t_last = self.last_frame.R, self.last_frame.t
+        prev2 = self._prev2_pose
+        if prev2 is None:
+            R_prev2, t_prev2, has_vel = R_last, t_last, dc["vel0"]
+        else:
+            R_prev2, t_prev2 = prev2
+            has_vel = dc["vel1"]
+        ref_k = max(self.last_kf_id, 0)
+        outs, packed_dev = fused_track_chunk(
+            self.map, self.cam, self.bounds, g_stack, aux_stack,
+            bx_stack, ba_stack, last_ids,
+            R_last, t_last, R_prev2, t_prev2, has_vel,
+            self._ref_kf_const(),
+            orb_cfg=cfg.orb, height=H, width=W,
+            mm_radius=dc["mm_radius"], local_radius=dc["local_radius"],
+            depth_th=dc["depth_th"], scale_factor=dc["sf"],
+            min_inliers_track=dc["min_tr"],
+            sensor=cfg.sensor, max_kf=cfg.capacity.local_ba_keyframes,
+            max_lm=cfg.capacity.local_ba_landmarks,
+            n_levels=cfg.orb.n_levels,
+            n_slots=cfg.capacity.max_keypoints,
+            depth_stride=ds, depth_scale=depth_scale, chunk=C)
+
+        # finalize the previous chunk WHILE this one computes on device
+        sts = []
+        while self._pending:
+            sts.append(self._finalize_one())
+            if self.state != "OK":
+                # a finalized frame went LOST: frames chained after it on
+                # device are garbage — drop them (the caller re-enters the
+                # per-frame recovery path on its next step)
+                self._pending.clear()
+                return sts
+
+        shared = _ChunkPacket(packed_dev)
+        for j, (g, a, bx, ba, fid, ts) in enumerate(frames):
+            out = outs[j]._replace(packed=_PacketRow(shared, j))
+            fr = Frame(data=out.fd, frame_id=fid, timestamp=ts,
+                       boxes=bx, ref_kf=ref_k)
+            fr.R, fr.t = out.R, out.t
+            fr.obs_lm = out.obs_lm
+            self._pending.append((fr, out, False))
+        if C >= 2:
+            self._prev2_pose = (outs[-2].R, outs[-2].t)
+        else:
+            self._prev2_pose = (R_last, t_last)
+        self.last_frame = self._pending[-1][0]
+        if cfg.tracking.pipeline_depth == 0:
+            while self._pending:
+                sts.append(self._finalize_one())
+                if self.state != "OK":
+                    self._pending.clear()
+                    break
+        return sts
 
     def _adaptive_depth(self) -> bool:
         if self._adaptive is None:

@@ -237,6 +237,21 @@ class System:
         self.frame_id += 1
         return st
 
+    def track_chunk(self, grays, auxs, timestamps) -> list:
+        """Temporal chunking: C consecutive frames in ONE device call +
+        ONE packed readback (Tracker.step_images_chunk) — the offline /
+        dataset-throughput mode for latency-bound transports. `auxs` are
+        depth maps (rgbd), right images (stereo), or None (mono). Static
+        scenes only (run the dynamic pipeline per-frame via track_rgbd).
+        Returns finalized TrackStats (decisions lag one chunk)."""
+        frames = []
+        for g, a, ts in zip(grays, auxs, timestamps):
+            frames.append((g, a, None, None, self.frame_id, ts))
+            self.frame_id += 1
+        sts = self.tracker.step_images_chunk(frames)
+        self._gba_step()
+        return sts
+
     def track_mono(self, gray: np.ndarray, timestamp: float) -> TrackStats:
         if self.dynamics is None:
             st = self.tracker.step_images(gray, None, None, None,
