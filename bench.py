@@ -355,10 +355,14 @@ def _run_chunk(args, scfg, seq, gray8, aux8, cfg, _log, cpu_fallback=False):
     n_timed = 0
     while i + C <= nf:
         f0 = time.time()
-        sys_.track_chunk([gray8[i + j] for j in range(C)],
-                         [aux8[i + j] for j in range(C)],
-                         [ts[i + j] for j in range(C)])
+        sts = sys_.track_chunk([gray8[i + j] for j in range(C)],
+                               [aux8[i + j] for j in range(C)],
+                               [ts[i + j] for j in range(C)])
         step_times.append(time.time() - f0)
+        if os.environ.get("BENCH_TRACE"):
+            nk = sum(bool(s.is_keyframe) for s in sts)
+            _log(f"chunk @{i}: {step_times[-1]*1e3:.1f} ms, kf {nk}, "
+                 f"n_kf_host {sys_.tracker.n_kf_host}")
         i += C
         n_timed += C
         with _progress_lock:
