@@ -329,17 +329,28 @@ def _run_chunk(args, scfg, seq, gray8, aux8, cfg, _log, cpu_fallback=False):
         cfg.tracking, max_frames_between_kf=3))
     sys_ = System(warm_cfg)
     ts = [float(t) for t in seq.timestamps]
+
+    def det(i):
+        if args.dynamic and seq.box_valid[i, 0]:
+            return seq.boxes[i][seq.box_valid[i]]
+        return None
+
+    def chunk_kwargs(i):
+        if not args.dynamic:
+            return {}
+        return dict(detections=[det(i + j) for j in range(C)])
+
     # bootstrap per-frame until tracking is OK, then chunk
     i = 0
     while sys_.tracker.state != "OK" and i < 6:
-        sys_.track_rgbd(gray8[i], aux8[i], ts[i])
+        sys_.track_rgbd(gray8[i], aux8[i], ts[i], detections=det(i))
         i += 1
     n_warm_steps = max(0, min(3, (nf - i) // C - 1))
     _log(f"chunk[{C}] warmup: {n_warm_steps} chunked steps")
     for w in range(n_warm_steps):
         sys_.track_chunk([gray8[i + j] for j in range(C)],
                          [aux8[i + j] for j in range(C)],
-                         [ts[i + j] for j in range(C)])
+                         [ts[i + j] for j in range(C)], **chunk_kwargs(i))
         i += C
         _log(f"warm chunk {w} done")
     real_cfg = sys_.cfg.replace(tracking=dataclasses.replace(
@@ -352,17 +363,23 @@ def _run_chunk(args, scfg, seq, gray8, aux8, cfg, _log, cpu_fallback=False):
     with _progress_lock:
         _progress["t_timed0"] = t0
     step_times = []
+    trace = []
     n_timed = 0
     while i + C <= nf:
         f0 = time.time()
         sts = sys_.track_chunk([gray8[i + j] for j in range(C)],
                                [aux8[i + j] for j in range(C)],
-                               [ts[i + j] for j in range(C)])
+                               [ts[i + j] for j in range(C)],
+                               **chunk_kwargs(i))
         step_times.append(time.time() - f0)
         if os.environ.get("BENCH_TRACE"):
-            nk = sum(bool(s.is_keyframe) for s in sts)
-            _log(f"chunk @{i}: {step_times[-1]*1e3:.1f} ms, kf {nk}, "
-                 f"n_kf_host {sys_.tracker.n_kf_host}")
+            # logging deferred to AFTER the timed loop (stderr I/O inside
+            # the window skews the headline fps); label by the FINALIZED
+            # frames' ids — stats lag one chunk behind dispatch index i
+            fids = [s.frame_id for s in sts]
+            trace.append((fids, step_times[-1],
+                          sum(bool(s.is_keyframe) for s in sts),
+                          sys_.tracker.n_kf_host))
         i += C
         n_timed += C
         with _progress_lock:
@@ -371,6 +388,10 @@ def _run_chunk(args, scfg, seq, gray8, aux8, cfg, _log, cpu_fallback=False):
     dt = time.time() - t0
     with _progress_lock:
         _progress["done"] = True
+    for fids, st_s, nk, nkf in trace:
+        rng = f"{fids[0]}..{fids[-1]}" if fids else "-"
+        _log(f"chunk frames {rng}: {st_s*1e3:.1f} ms, kf {nk}, "
+             f"n_kf_host {nkf}")
     fps = n_timed / dt
     st_ms = np.sort(np.asarray(step_times)) * 1e3
     print(f"[bench] chunk ms (={C} frames): p50 {np.median(st_ms):.1f} "
@@ -380,6 +401,8 @@ def _run_chunk(args, scfg, seq, gray8, aux8, cfg, _log, cpu_fallback=False):
     est = np.stack([-R.T @ t for _, R, t in traj])
     ate = ate_rmse(est, seq.t_wc[:len(est)])
     kind = "stereo" if cfg.sensor == "stereo" else "RGB-D"
+    if args.dynamic:
+        kind += " dynamic-scene"
     label = (f"tracked frames/s/chip (chunk={C} frames/call, 640x480 "
              f"{kind}, full SLAM)")
     if cpu_fallback:

@@ -325,11 +325,12 @@ class LoopCloser:
         t0 = m.kf_t
 
         covis = np.asarray(m.covis)
-        e_i, e_j, e_s, e_R, e_t, e_w = [], [], [], [], [], []
+        e_i, e_j, e_s, e_R, e_t, e_w, e_ess = [], [], [], [], [], [], []
 
-        def add_edge(i, j, w, meas=None):
+        def add_edge(i, j, w, meas=None, essential=False):
             """Edge (i, j) with measurement S_ji = S_j o S_i^-1 from current
-            estimates unless given."""
+            estimates unless given. `essential` edges (spanning tree, loop
+            constraints) survive capacity overflow."""
             if meas is None:
                 Rm = np.asarray(m.kf_R[j] @ m.kf_R[i].T)
                 tm = np.asarray(m.kf_t[j]) - Rm @ np.asarray(m.kf_t[i])
@@ -340,6 +341,7 @@ class LoopCloser:
             e_R.append(meas[1])
             e_t.append(meas[2])
             e_w.append(w)
+            e_ess.append(essential)
 
         for i in range(1, n_kf):
             if not valid[i]:
@@ -347,7 +349,7 @@ class LoopCloser:
             # spanning edge to strongest earlier covisible (or previous kf)
             earlier = covis[i, :i] * valid[:i]
             parent = int(np.argmax(earlier)) if earlier.max() > 0 else i - 1
-            add_edge(i, parent, 1.0)
+            add_edge(i, parent, 1.0, essential=True)
             # strong covisibility edges (weight >= 100, ref :881)
             for j in np.nonzero(earlier >= 100)[0]:
                 if j != parent:
@@ -355,7 +357,8 @@ class LoopCloser:
         # loop edge: measured relative transform maps cam_k -> cam_cand:
         # S_cand,k. Edge (i=k, j=cand) wants S_ji = S_cand o S_k^-1 == meas.
         add_edge(k, cand, 10.0,
-                 (float(s_rel), np.asarray(R_rel), np.asarray(t_rel)))
+                 (float(s_rel), np.asarray(R_rel), np.asarray(t_rel)),
+                 essential=True)
         # persistent loop edges from PREVIOUS closures (ref
         # KeyFrame::mspLoopEdges consumed by OptimizeEssentialGraph,
         # src/Optimizer.cc:826-846): a second loop keeps the first's
@@ -368,24 +371,56 @@ class LoopCloser:
         for e in range(int(m.n_loop)):
             li, lj = int(m.loop_i[e]), int(m.loop_j[e])
             if bool(m.loop_valid[e]) and valid[li] and valid[lj]:
-                add_edge(li, lj, 10.0)
+                add_edge(li, lj, 10.0, essential=True)
 
+        # pad edges to a FIXED capacity so every closure reuses one
+        # compiled optimize_pose_graph executable: exact-sized arrays would
+        # retrace per distinct edge count, and a fresh compile through the
+        # axon tunnel costs minutes and misses the shape-keyed persistent
+        # cache. Overflow drops covisibility edges (essential edges —
+        # spanning tree + loop constraints, what keeps the graph connected,
+        # ref Optimizer.cc:826-906 — always survive).
+        E_cap = self.cfg.capacity.max_pose_graph_edges
+        if len(e_i) > E_cap:
+            keep = sorted(range(len(e_i)),
+                          key=lambda x: (not e_ess[x], x))[:E_cap]
+            keep.sort()
+            e_i = [e_i[x] for x in keep]
+            e_j = [e_j[x] for x in keep]
+            e_s = [e_s[x] for x in keep]
+            e_R = [e_R[x] for x in keep]
+            e_t = [e_t[x] for x in keep]
+            e_w = [e_w[x] for x in keep]
         E = len(e_i)
+        ei = np.zeros(E_cap, np.int32)
+        ej = np.zeros(E_cap, np.int32)
+        es = np.ones(E_cap, np.float32)
+        eR = np.tile(np.eye(3, dtype=np.float32), (E_cap, 1, 1))
+        et = np.zeros((E_cap, 3), np.float32)
+        ew = np.zeros(E_cap, np.float32)
+        ev = np.zeros(E_cap, bool)
+        ei[:E] = e_i
+        ej[:E] = e_j
+        es[:E] = e_s
+        eR[:E] = np.stack(e_R).astype(np.float32)
+        et[:E] = np.stack(e_t).astype(np.float32)
+        ew[:E] = e_w
+        ev[:E] = True
         fixed = np.zeros(K, bool)
         fixed[cand] = True
         fixed[0] = True
         problem = PoseGraphProblem(
             s=s0, R=R0, t=t0,
             fixed=jnp.asarray(fixed), valid=m.kf_valid,
-            e_i=jnp.asarray(e_i, jnp.int32), e_j=jnp.asarray(e_j, jnp.int32),
+            e_i=jnp.asarray(ei), e_j=jnp.asarray(ej),
             # measured Sim3 scales ride the loop edges (covisibility/
             # spanning edges are scale-1); with cfg.loop.fix_scale the
             # optimizer pins s anyway (stereo/RGB-D), mono lets the loop
             # edge's scale correct drift (ref OptimizeEssentialGraph uses
             # the full Sim3 measurement, src/Optimizer.cc:826-906)
-            e_s=jnp.asarray(e_s, jnp.float32), e_R=jnp.asarray(np.stack(e_R)),
-            e_t=jnp.asarray(np.stack(e_t)), e_valid=jnp.ones(E, bool),
-            e_weight=jnp.asarray(e_w, jnp.float32))
+            e_s=jnp.asarray(es), e_R=jnp.asarray(eR),
+            e_t=jnp.asarray(et), e_valid=jnp.asarray(ev),
+            e_weight=jnp.asarray(ew))
         s_new, R_new, t_new = optimize_pose_graph(
             problem, iters=self.cfg.optimizer.essential_graph_iters,
             fix_scale=self.cfg.loop.fix_scale)

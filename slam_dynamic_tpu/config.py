@@ -209,6 +209,12 @@ class CapacityConfig:
     local_ba_landmarks: int = 4096
     max_loop_edges: int = 16               # persistent loop constraints
     max_matches: int = 2048
+    # essential-graph edge capacity: `LoopCloser._correct` pads its edge
+    # arrays to this so every closure reuses ONE compiled
+    # optimize_pose_graph executable (a fresh shape would retrace — and a
+    # fresh compile through the axon tunnel costs minutes). Sized for
+    # max_keyframes spanning edges + strong-covis fan-in + loop edges.
+    max_pose_graph_edges: int = 4096
 
 
 @dataclass(frozen=True)

@@ -356,22 +356,74 @@ def fused_track_chunk(
     (device handles; .packed of all C frames is also returned stacked as
     the second element for ONE readback).
     """
+    return _chunk_body(
+        m, cam, bounds, images, auxs, boxes, box_active, last_obs_lm,
+        R_last, t_last, R_prev2, t_prev2, has_vel, ref_kf, orb_cfg,
+        height, width, mm_radius, local_radius, depth_th, scale_factor,
+        min_inliers_track, sensor, max_kf, max_lm, n_levels, n_slots,
+        depth_scale, depth_stride, chunk, dyn=None)
+
+
+def _chunk_body(m, cam, bounds, images, auxs, boxes, box_active,
+                last_obs_lm, R_last, t_last, R_prev2, t_prev2, has_vel,
+                ref_kf, orb_cfg, height, width, mm_radius, local_radius,
+                depth_th, scale_factor, min_inliers_track, sensor, max_kf,
+                max_lm, n_levels, n_slots, depth_scale, depth_stride,
+                chunk, dyn):
+    """Shared chunk loop. `dyn` (traced values) switches on the fused
+    dynamic-scene classification per frame: {box_status [B], ref_fd,
+    have_ref, seed, n_hyp (static)} — see fused_track_step_dyn. Each
+    frame classifies against the CHUNK-START reference frame (the host's
+    ref queue lags one chunk, like the reference's async-thread design)
+    and its verdicts ride the packet tail ([C, 28+B])."""
     stereo = sensor in ("rgbd", "stereo")
     outs = []
     obs, Rl, tl, Rp2, tp2, hv = (last_obs_lm, R_last, t_last,
                                  R_prev2, t_prev2, has_vel)
     mm = m
     for j in range(chunk):
+        if dyn is None:
+            quarantine = box_active[j]
+        else:
+            # status-1 (reclassified static) boxes stop quarantining but
+            # classification keeps seeing ALL boxes (a box can go 1 -> 2)
+            quarantine = box_active[j] & (dyn["box_status"] != 1)
         fd = build_frame_data(cam, images[j], auxs[j], boxes[j],
-                              box_active[j], orb_cfg, height, width,
+                              quarantine, orb_cfg, height, width,
                               scale_factor, sensor, n_slots=n_slots,
                               depth_scale=depth_scale,
                               depth_stride=depth_stride)
+        verdict = None
+        if dyn is not None:
+            from .dynamics_ops import classify_boxes
+            # per-frame RANSAC variation derives from the chained pose
+            # (changes every frame), like fused_track_step_dyn
+            seed = dyn["seed"] + jnp.int32(j) \
+                + (jnp.abs(tl) * 8388608.0).sum().astype(jnp.int32) \
+                + (jnp.abs(Rl) * 65536.0).sum().astype(jnp.int32)
+            v = classify_boxes(cam, dyn["ref_fd"], fd, boxes[j],
+                               box_active[j], n_hyp=dyn["n_hyp"],
+                               seed=seed)
+            verdict = jnp.where(dyn["have_ref"] > 0, v.verdict,
+                                jnp.zeros_like(v.verdict))
+            status = dyn["box_status"]
+            static_now = box_active[j] & (status != 2) & \
+                ((status == 1) | (verdict == 1))
+            inside = ((fd.xy[None, :, 0] >= boxes[j][:, None, 0])
+                      & (fd.xy[None, :, 0] <= boxes[j][:, None, 2])
+                      & (fd.xy[None, :, 1] >= boxes[j][:, None, 1])
+                      & (fd.xy[None, :, 1] <= boxes[j][:, None, 3])
+                      & static_now[:, None])
+            fd = fd._replace(static_mask=fd.static_mask |
+                             (inside.any(0) & fd.valid))
         R_pred, t_pred = _predict_inside(Rl, tl, Rp2, tp2, hv)
         out = _track_stages(mm, cam, bounds, fd, obs, R_pred, t_pred,
                             Rl, tl, ref_kf, mm_radius, local_radius,
                             depth_th, scale_factor, min_inliers_track,
                             stereo, max_kf, max_lm, n_levels)
+        if verdict is not None:
+            out = out._replace(packed=jnp.concatenate(
+                [out.packed, verdict.astype(jnp.float32)]))
         outs.append(out)
         # chain: landmark stat counters + last-frame state ride on device
         mm = mm._replace(lm_visible=out.lm_visible, lm_found=out.lm_found)
@@ -379,6 +431,40 @@ def fused_track_chunk(
         hv = jnp.float32(1.0)
     packed = jnp.stack([o.packed for o in outs])
     return outs, packed
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("orb_cfg", "height", "width", "sensor",
+                     "max_kf", "max_lm", "n_levels", "n_slots", "n_hyp",
+                     "depth_stride", "chunk"))
+def fused_track_chunk_dyn(
+        m: MapState, cam: Intrinsics, bounds, images, auxs,
+        boxes, box_active, box_status, ref_fd: FrameData, have_ref,
+        last_obs_lm, R_last, t_last, R_prev2, t_prev2, has_vel, ref_kf,
+        orb_cfg: ORBConfig, height: int, width: int,
+        mm_radius, local_radius, depth_th, scale_factor,
+        min_inliers_track, seed,
+        sensor: str = "rgbd", max_kf: int = 16, max_lm: int = 4096,
+        n_levels: int = 8, n_slots: int = 0, n_hyp: int = 256,
+        depth_scale=None, depth_stride: int = 1, chunk: int = 2):
+    """Dynamic-scene temporal chunking: C consecutive frames, each with
+    fused H/F box classification + feature reinstatement, in ONE device
+    call + ONE packed [C, 28+B] readback — fused_track_chunk composed
+    with fused_track_step_dyn (the framework's namesake workload,
+    ref /root/reference/src/Tracking.cc:968-1367, amortized over the
+    transport like the static chunk). box_status is the host's
+    START-OF-CHUNK belief; fresh verdicts return per frame in the packet
+    tail and the host's streak bookkeeping lags one chunk (the same
+    one-sided lag the reference's async thread has, widened to C)."""
+    dyn = dict(box_status=box_status, ref_fd=ref_fd, have_ref=have_ref,
+               seed=seed, n_hyp=n_hyp)
+    return _chunk_body(
+        m, cam, bounds, images, auxs, boxes, box_active, last_obs_lm,
+        R_last, t_last, R_prev2, t_prev2, has_vel, ref_kf, orb_cfg,
+        height, width, mm_radius, local_radius, depth_th, scale_factor,
+        min_inliers_track, sensor, max_kf, max_lm, n_levels, n_slots,
+        depth_scale, depth_stride, chunk, dyn=dyn)
 
 
 @functools.partial(

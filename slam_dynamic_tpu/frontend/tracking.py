@@ -252,7 +252,7 @@ class Tracker:
         self._bookkeep(frame)
         return st
 
-    def step_images_chunk(self, frames) -> list:
+    def step_images_chunk(self, frames, dyn: dict = None) -> list:
         """Temporal chunking: C consecutive frames in ONE device call +
         ONE packed [C, 28] readback (fused.fused_track_chunk) — the
         single-sequence analog of MultiSystem's lane batching for
@@ -260,13 +260,16 @@ class Tracker:
         chunk, the reference's async-LocalMapping lag widened to C.
 
         `frames`: list of (gray, aux, boxes, box_active, frame_id,
-        timestamp). Static path (no fused dynamic classification).
-        Returns finalized TrackStats of frames that completed readback
-        this call (usually the PREVIOUS chunk's)."""
+        timestamp). `dyn` (optional): {ref_fd, have_ref, box_status,
+        seed} switches to fused_track_chunk_dyn — per-frame H/F box
+        classification inside the chunk, verdicts in the [C, 28+B]
+        packet (TrackStats.verdicts when finalized; streak bookkeeping
+        lags one chunk). Returns finalized TrackStats of frames that
+        completed readback this call (usually the PREVIOUS chunk's)."""
         if self.state != "OK" or len(frames) == 1:
-            return [self.step_images(g, a, bx, ba, fid, ts)
+            return [self.step_images(g, a, bx, ba, fid, ts, dyn=dyn)
                     for (g, a, bx, ba, fid, ts) in frames]
-        from .fused import fused_track_chunk
+        from .fused import fused_track_chunk, fused_track_chunk_dyn
         cfg = self.cfg
         dc = self._scalar_consts()
         C = len(frames)
@@ -317,11 +320,7 @@ class Tracker:
             R_prev2, t_prev2 = prev2
             has_vel = dc["vel1"]
         ref_k = max(self.last_kf_id, 0)
-        outs, packed_dev = fused_track_chunk(
-            self.map, self.cam, self.bounds, g_stack, aux_stack,
-            bx_stack, ba_stack, last_ids,
-            R_last, t_last, R_prev2, t_prev2, has_vel,
-            self._ref_kf_const(),
+        common = dict(
             orb_cfg=cfg.orb, height=H, width=W,
             mm_radius=dc["mm_radius"], local_radius=dc["local_radius"],
             depth_th=dc["depth_th"], scale_factor=dc["sf"],
@@ -331,6 +330,19 @@ class Tracker:
             n_levels=cfg.orb.n_levels,
             n_slots=cfg.capacity.max_keypoints,
             depth_stride=ds, depth_scale=depth_scale, chunk=C)
+        if dyn is None:
+            outs, packed_dev = fused_track_chunk(
+                self.map, self.cam, self.bounds, g_stack, aux_stack,
+                bx_stack, ba_stack, last_ids,
+                R_last, t_last, R_prev2, t_prev2, has_vel,
+                self._ref_kf_const(), **common)
+        else:
+            outs, packed_dev = fused_track_chunk_dyn(
+                self.map, self.cam, self.bounds, g_stack, aux_stack,
+                bx_stack, ba_stack,
+                dyn["box_status"], dyn["ref_fd"], dyn["have_ref"],
+                last_ids, R_last, t_last, R_prev2, t_prev2, has_vel,
+                self._ref_kf_const(), seed=dyn["seed"], **common)
 
         # finalize the previous chunk WHILE this one computes on device
         sts = []
@@ -350,7 +362,7 @@ class Tracker:
                        boxes=bx, ref_kf=ref_k)
             fr.R, fr.t = out.R, out.t
             fr.obs_lm = out.obs_lm
-            self._pending.append((fr, out, False))
+            self._pending.append((fr, out, dyn is not None))
         if C >= 2:
             self._prev2_pose = (outs[-2].R, outs[-2].t)
         else:

@@ -237,18 +237,45 @@ class System:
         self.frame_id += 1
         return st
 
-    def track_chunk(self, grays, auxs, timestamps) -> list:
+    def track_chunk(self, grays, auxs, timestamps,
+                    detections: Optional[list] = None) -> list:
         """Temporal chunking: C consecutive frames in ONE device call +
         ONE packed readback (Tracker.step_images_chunk) — the offline /
         dataset-throughput mode for latency-bound transports. `auxs` are
-        depth maps (rgbd), right images (stereo), or None (mono). Static
-        scenes only (run the dynamic pipeline per-frame via track_rgbd).
+        depth maps (rgbd), right images (stereo), or None (mono).
+        `detections`: optional per-frame box lists — with the dynamic
+        pipeline enabled the fused H/F classification runs INSIDE the
+        chunk (fused_track_chunk_dyn); box streak bookkeeping lags one
+        chunk, the reference's async-thread lag widened to C
+        (ref /root/reference/src/Tracking.cc:968-1367).
         Returns finalized TrackStats (decisions lag one chunk)."""
         frames = []
-        for g, a, ts in zip(grays, auxs, timestamps):
-            frames.append((g, a, None, None, self.frame_id, ts))
+        first_id = self.frame_id
+        for j, (g, a, ts) in enumerate(zip(grays, auxs, timestamps)):
+            det = detections[j] if detections is not None else None
+            det = self._maybe_detect(g, det)
+            self._advance_boxes(det)
+            boxes, bvalid = self._active_boxes()
+            if self.dynamics is not None and len(self.boxes.boxes):
+                # classification must keep seeing ALL boxes (a box can
+                # move 1 -> 2 when it starts moving); status gating
+                # happens inside the fused step via dyn["box_status"]
+                boxes = self.boxes.boxes.copy()
+                bvalid = np.ones(len(boxes), bool)
+            frames.append((g, a, boxes, bvalid, self.frame_id, ts))
             self.frame_id += 1
-        sts = self.tracker.step_images_chunk(frames)
+        dyn = self._dyn_args(timestamps[0])
+        sts = self.tracker.step_images_chunk(frames, dyn=dyn)
+        if self.dynamics is not None:
+            # verdicts of the finalized (previous) chunk update streaks
+            # now; the just-dispatched frames' FrameData enters the
+            # reference queue for FUTURE chunks' classification
+            for st in sts:
+                if st.verdicts is not None and len(self.boxes.boxes):
+                    self.dynamics.update_streaks(self.boxes, st.verdicts)
+            for fr, _, _ in self.tracker._pending:
+                if fr.frame_id >= first_id:
+                    self.dynamics.push_fd(fr.timestamp, fr.data)
         self._gba_step()
         return sts
 

@@ -69,6 +69,52 @@ def test_chunked_tracking_matches_per_frame_accuracy():
 
 
 @pytest.mark.slow
+def test_chunked_dynamic_scene():
+    """Temporal chunking composed with the dynamic pipeline
+    (fused_track_chunk_dyn): a large moving object + per-frame boxes +
+    fused H/F classification INSIDE the chunk. The trajectory must
+    survive (vs a corrupting object) and the box must be confirmed
+    dynamic from verdicts that ride the [C, 28+B] packet — streak
+    bookkeeping lags one chunk (ref Tracking.cc:968-1367)."""
+    from slam_dynamic_tpu.config import DetectorConfig
+    scfg = SynthConfig(n_frames=28, width=320, height=240, fx=260.0,
+                       fy=260.0, cx=159.5, cy=119.5, dynamic_object=True,
+                       obj_size=1.6, obj_depth=3.0, obj_speed=0.09)
+    seq = generate(scfg)
+    gray8 = np.clip(seq.gray, 0, 255).astype(np.uint8)
+    d16 = np.clip(seq.depth * 1000, 0, 65535).astype(np.uint16)
+    cfg = _cfg(scfg).replace(detector=DetectorConfig(mode="precomputed"))
+    s = System(cfg)
+    C = 4
+    det = lambda i: (seq.boxes[i][seq.box_valid[i]]
+                     if seq.box_valid[i, 0] else None)
+    i = 0
+    while s.tracker.state != "OK" and i < 4:
+        s.track_rgbd(gray8[i], d16[i], float(seq.timestamps[i]),
+                     detections=det(i))
+        i += 1
+    sts = []
+    nf = seq.gray.shape[0]
+    while i + C <= nf:
+        sts += s.track_chunk([gray8[i + j] for j in range(C)],
+                             [d16[i + j] for j in range(C)],
+                             [float(seq.timestamps[i + j])
+                              for j in range(C)],
+                             detections=[det(i + j) for j in range(C)])
+        i += C
+    assert all(st.state == "OK" for st in sts)
+    # verdicts rode the chunked packet
+    assert any(st.verdicts is not None for st in sts)
+    # the moving object was confirmed dynamic via lagged streaks
+    assert len(s.boxes.status) >= 1
+    assert (s.boxes.status == 2).any(), s.boxes.status
+    traj = s.trajectory
+    est = np.stack([-R.T @ t for _, R, t in traj])
+    ate = ate_rmse(est, seq.t_wc[:len(est)], align=False)
+    assert ate < 0.15, ate
+
+
+@pytest.mark.slow
 def test_chunk_of_two_and_pipeline_lag_bookkeeping():
     scfg = SynthConfig(n_frames=20, width=320, height=240, fx=260.0,
                        fy=260.0, cx=159.5, cy=119.5)

@@ -161,8 +161,14 @@ def test_persistent_loop_edge_in_second_correction():
     assert int(m.n_loop) == 1
     RA = np.asarray(m.kf_R[10] @ m.kf_R[0].T)
     assert np.arccos(np.clip((np.trace(RA) - 1) / 2, -1, 1)) < 0.02
-    # loop B: KF 11 == KF 1
+    # loop B: KF 11 == KF 1. B has MORE edges than A (A's persistent loop
+    # edge joins the graph) — the fixed-capacity padding must keep both
+    # closures on ONE compiled optimize_pose_graph executable (a fresh
+    # compile through the axon tunnel costs minutes).
+    from slam_dynamic_tpu.optim.pose_graph import optimize_pose_graph
+    n_compiled = optimize_pose_graph._cache_size()
     m = lc._correct(m, 11, 1, 1.0, jnp.eye(3), jnp.zeros(3))
+    assert optimize_pose_graph._cache_size() == n_compiled
     assert int(m.n_loop) == 2
     # loop A's constraint survives the second correction
     RA2 = np.asarray(m.kf_R[10] @ np.asarray(m.kf_R[0]).T)
