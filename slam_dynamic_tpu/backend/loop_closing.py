@@ -196,7 +196,7 @@ class LoopCloser:
         """Process new keyframe k: detect/verify/correct. Returns updated
         map + result. Also adds k to the BoW database."""
         bv = voc_mod.transform(self.voc, m.kf_kp_desc[k], m.kf_kp_valid[k])
-        hist = voc_mod.bow_histogram(bv, self.voc.n_words)
+        hist = voc_mod.sparse_bow(bv, top_w=self.db.word.shape[1])
         result = LoopResult()
 
         cfg = self.cfg.loop

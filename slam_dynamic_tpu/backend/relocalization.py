@@ -75,7 +75,7 @@ def relocalize(m: MapState, db: kfdb_mod.KFDatabase, voc, cam, frame_data,
                           Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Try to relocalize a lost frame. Returns (ok, R, t, obs_lm[N])."""
     bv = voc_mod.transform(voc, frame_data.desc, frame_data.valid)
-    hist = voc_mod.bow_histogram(bv, voc.n_words)
+    hist = voc_mod.sparse_bow(bv, top_w=db.word.shape[1])
     # exclude CULLED keyframes (kf_valid off): their DB rows stay stored
     # but their frozen poses stopped receiving BA updates at cull time
     # (ref KeyFrameDatabase::erase from KeyFrame::SetBadFlag)

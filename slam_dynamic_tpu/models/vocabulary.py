@@ -155,6 +155,126 @@ def default_vocab_path():
     return p if os.path.exists(p) else None
 
 
+def load_orbvoc_text(path: str) -> Vocabulary:
+    """Import a DBoW2 text vocabulary (the reference's bundled
+    Vocabulary/ORBvoc.txt, written by TemplatedVocabulary::saveToTextFile
+    and read by loadFromTextFile, /root/reference/Thirdparty/DBoW2/DBoW2/
+    TemplatedVocabulary.h:1338-1422).
+
+    Format: header `k L scoring weighting`; then one node per line
+    `parent_id is_leaf b0..b31 weight`, node ids implicit (1-based, file
+    order; parents always precede children), leaves possible at ANY depth
+    (a cluster with < k members ends early).
+
+    DBoW2's pointer tree maps onto this module's COMPLETE k-ary heap
+    layout: each node's children occupy heap rows [r*k, (r+1)*k) of the
+    next level. Holes are filled so descent behavior is preserved:
+    - missing siblings copy the group's first real child (Hamming ties
+      resolve to the smaller index, so a real child always wins);
+    - a leaf above the bottom propagates its descriptor down the whole
+      subtree (descent through the copies reaches the leftmost bottom
+      word, which carries the leaf's idf weight).
+    All fill passes are vectorized per level — importing the ~10^6-word
+    ORBvoc.txt takes seconds, not minutes.
+    """
+    with open(path) as f:
+        hdr = f.readline().split()
+        k, L = int(hdr[0]), int(hdr[1])
+        if not (0 < k <= 20 and 1 <= L <= 10):
+            raise ValueError(f"not a DBoW2 text vocabulary header: {hdr}")
+        rows = np.loadtxt(f, dtype=np.float64, ndmin=2)
+    if rows.shape[1] != 2 + 32 + 1:
+        raise ValueError(f"expected 35 columns/node, got {rows.shape[1]}")
+    n = rows.shape[0]
+    parent = rows[:, 0].astype(np.int64)           # node id (0=root)
+    is_leaf = rows[:, 1] > 0
+    desc = np.ascontiguousarray(
+        rows[:, 2:34].astype(np.uint8)).view(np.uint32)   # [n, 8]
+    w_leaf = rows[:, 34].astype(np.float32)
+
+    # child rank within parent (children keep file order, = DBoW2 order)
+    order = np.argsort(parent, kind="stable")
+    sp = parent[order]
+    group_start = np.r_[0, np.flatnonzero(sp[1:] != sp[:-1]) + 1]
+    counts = np.diff(np.r_[group_start, n])
+    rank_sorted = np.arange(n) - np.repeat(group_start, counts)
+    child_rank = np.empty(n, np.int64)
+    child_rank[order] = rank_sorted
+    if (child_rank >= k).any():
+        raise ValueError("node with more than k children")
+
+    # level + heap row per node (wave propagation: parents precede
+    # children in id order, trees are <= L deep -> L passes suffice)
+    lev = np.full(n + 1, -2, np.int64)     # indexed by node id; root = -1
+    heap = np.zeros(n + 1, np.int64)
+    lev[0] = -1
+    ids = np.arange(1, n + 1)
+    for _ in range(L + 1):
+        known = lev[parent] != -2
+        upd = (lev[ids] == -2) & known
+        lev[ids[upd]] = lev[parent[upd]] + 1
+        heap[ids[upd]] = heap[parent[upd]] * k + child_rank[upd]
+        if not upd.any():
+            break
+    if (lev[1:] < 0).any() or (lev[1:] >= L).any():
+        raise ValueError("malformed tree: node level out of [0, L)")
+
+    cents = [np.zeros((k ** (l + 1), 8), np.uint32) for l in range(L)]
+    filled = [np.zeros(k ** (l + 1), bool) for l in range(L)]
+    wts = np.zeros(k ** L, np.float32)
+    for l in range(L):
+        sel = lev[1:] == l
+        cents[l][heap[1:][sel]] = desc[sel]
+        filled[l][heap[1:][sel]] = True
+    # hole filling, top level downward (vectorized per level)
+    for l in range(L):
+        g_desc = cents[l].reshape(-1, k, 8)
+        g_fill = filled[l].reshape(-1, k)
+        any_fill = g_fill.any(1)
+        first = g_fill.argmax(1)                       # rank of first real
+        gi = np.arange(g_fill.shape[0])
+        sib = g_desc[gi, first]                        # [G, 8]
+        if l == 0:                                     # one group: the root
+            fill_src = sib
+        else:
+            # a group with no real child = a propagated-leaf subtree:
+            # copy the parent's descriptor down
+            fill_src = np.where(any_fill[:, None], sib, cents[l - 1])
+        g_desc[:] = np.where(g_fill[:, :, None], g_desc,
+                             fill_src[:, None, :])
+        filled[l][:] = True
+    # leaf idf weights: a leaf at level l owns the leftmost bottom word
+    # of its propagated subtree
+    leaf_sel = is_leaf
+    word = heap[1:][leaf_sel] * (k ** (L - 1 - lev[1:][leaf_sel]))
+    wts[word] = w_leaf[leaf_sel]
+    return Vocabulary(tuple(jnp.asarray(c) for c in cents),
+                      jnp.asarray(wts), k, L)
+
+
+def save_orbvoc_text(path: str, voc: Vocabulary):
+    """Export to the DBoW2 text format (saveToTextFile analog,
+    TemplatedVocabulary.h:1428-1449) — round-trip partner of
+    load_orbvoc_text; writes the complete heap tree (scoring=L1_NORM=0,
+    weighting=TF_IDF=0)."""
+    k, L = voc.k, voc.levels
+    with open(path, "w") as f:
+        f.write(f"{k} {L}  0 0\n")
+        # file order must put parents before children: level by level;
+        # node id of heap row r at level l is offset(l) + r + 1
+        offs = np.cumsum([0] + [k ** (l + 1) for l in range(L)])
+        wts = np.asarray(voc.weights)
+        for l in range(L):
+            C = np.asarray(voc.centroids[l]).view(np.uint8).reshape(-1, 32)
+            par = (np.zeros(len(C), np.int64) if l == 0
+                   else offs[l - 1] + np.arange(len(C)) // k + 1)
+            leaf = 1 if l == L - 1 else 0
+            for r in range(len(C)):
+                d = " ".join(str(int(b)) for b in C[r])
+                w = float(wts[r]) if leaf else 0.0
+                f.write(f"{par[r]} {leaf} {d} {w}\n")
+
+
 def save(path: str, voc: Vocabulary):
     np.savez_compressed(
         path, k=voc.k, levels=voc.levels, weights=np.asarray(voc.weights),
@@ -216,11 +336,72 @@ def transform(voc: Vocabulary, desc, valid, di_level: int = 2) -> BowVector:
 
 @functools.partial(jax.jit, static_argnames=("n_words",))
 def bow_histogram(bv: BowVector, n_words: int):
-    """Dense L1-normalized tf-idf histogram [n_words] (for scoring)."""
+    """Dense L1-normalized tf-idf histogram [n_words] (for scoring).
+
+    O(n_words) memory — use only for small vocabularies / tests; the
+    production scoring path is `sparse_bow` + kfdb searchsorted
+    intersection, whose cost is independent of n_words."""
     w = jnp.where(bv.word >= 0, bv.weight, 0.0)
     hist = jnp.zeros(n_words + 1).at[
         jnp.where(bv.word >= 0, bv.word, n_words)].add(w)[:n_words]
     return hist / jnp.maximum(jnp.sum(jnp.abs(hist)), 1e-9)
+
+
+# sorts after every real word id (vocabularies are < 2^30 words); pad
+# value of SparseBow.word so searchsorted never matches a pad
+PAD_WORD = np.int32(1 << 30)
+
+
+class SparseBow(NamedTuple):
+    """Fixed-shape sparse L1-normalized tf-idf vector of ONE frame.
+
+    The scalable replacement of `bow_histogram`: a frame touches at most
+    n_keypoints distinct words, so the vector is (word, weight) pairs
+    SORTED by word id, padded with PAD_WORD — no [n_words] array is ever
+    materialized, keeping query cost independent of vocabulary size
+    (the reference's ORBvoc has ~10^6 words,
+    /root/reference/Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h)."""
+
+    word: jnp.ndarray     # [W] int32, ascending, PAD_WORD padding
+    weight: jnp.ndarray   # [W] float32 (0 at pads), L1-normalized
+
+
+@functools.partial(jax.jit, static_argnames=("top_w",))
+def _sparse_bow_impl(word, weight, top_w: int):
+    N = word.shape[0]
+    wid = jnp.where(word >= 0, word, PAD_WORD)
+    order = jnp.argsort(wid)
+    sw = wid[order]
+    wt = jnp.where(word >= 0, weight, 0.0)[order]
+    # first occurrence of each distinct word in the sorted run
+    first = jnp.concatenate([jnp.ones((1,), bool), sw[1:] != sw[:-1]])
+    first = first & (sw < PAD_WORD)
+    # segment-sum duplicate words into their first-occurrence slot
+    seg = jnp.clip(jnp.cumsum(first.astype(jnp.int32)) - 1, 0, N - 1)
+    sums = jnp.zeros(N, wt.dtype).at[seg].add(wt)
+    u_weight = jnp.where(first, sums[seg], 0.0)
+    u_word = jnp.where(first, sw, PAD_WORD)
+    # keep the top_w heaviest words (exact when distinct words <= top_w),
+    # then re-sort by word id for searchsorted consumers
+    kk = min(top_w, N)
+    vals, idx = jax.lax.top_k(u_weight, kk)
+    sel_word = jnp.where(vals > 0, u_word[idx], PAD_WORD)
+    o2 = jnp.argsort(sel_word)
+    sel_word = sel_word[o2]
+    sel_weight = jnp.where(sel_word < PAD_WORD, vals[o2], 0.0)
+    if kk < top_w:
+        sel_word = jnp.concatenate(
+            [sel_word, jnp.full((top_w - kk,), PAD_WORD, sel_word.dtype)])
+        sel_weight = jnp.concatenate(
+            [sel_weight, jnp.zeros(top_w - kk, sel_weight.dtype)])
+    denom = jnp.maximum(jnp.sum(wt), 1e-9)     # L1 norm of the FULL vector
+    return SparseBow(sel_word.astype(jnp.int32), sel_weight / denom)
+
+
+def sparse_bow(bv: BowVector, top_w: int = 1024) -> SparseBow:
+    """BowVector -> fixed-shape sparse tf-idf vector (duplicates summed,
+    L1-normalized, sorted by word)."""
+    return _sparse_bow_impl(bv.word, bv.weight, top_w)
 
 
 @jax.jit

@@ -448,7 +448,7 @@ class System:
             bv = voc_mod.transform(self.voc, m.kf_kp_desc[k],
                                    m.kf_kp_valid[k])
             db = kfdb_mod.add(db, k,
-                              voc_mod.bow_histogram(bv, self.voc.n_words))
+                              voc_mod.sparse_bow(bv, top_w=db.word.shape[1]))
         self.loop.db = db
 
     def shutdown(self):

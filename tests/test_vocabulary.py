@@ -73,18 +73,137 @@ def test_kfdb_query_prefers_revisit(rng):
     frames = [rand_desc(rng, 200) for _ in range(6)]
     ones = jnp.ones(200, bool)
     for k, f in enumerate(frames):
-        h = voc.bow_histogram(voc.transform(v, jnp.asarray(f), ones), W)
-        db = kfdb.add(db, k, h)
+        sb = voc.sparse_bow(voc.transform(v, jnp.asarray(f), ones), W)
+        db = kfdb.add(db, k, sb)
     # query = noisy copy of frame 3
     q = corrupt(rng, frames[3], 5)
-    hq = voc.bow_histogram(voc.transform(v, jnp.asarray(q), ones), W)
+    sq = voc.sparse_bow(voc.transform(v, jnp.asarray(q), ones), W)
     covis = jnp.zeros((K, K), jnp.int32)
-    cand = kfdb.query(db, hq, covis, jnp.zeros(K, bool))
+    cand = kfdb.query(db, sq, covis, jnp.zeros(K, bool))
     assert int(jnp.argmax(cand.score)) == 3
     # excluding 3 finds someone else
     excl = jnp.zeros(K, bool).at[3].set(True)
-    cand2 = kfdb.query(db, hq, covis, excl)
+    cand2 = kfdb.query(db, sq, covis, excl)
     assert int(jnp.argmax(cand2.score)) != 3
+
+
+def test_sparse_bow_matches_dense_histogram(rng):
+    """sparse_bow + searchsorted scoring must equal the dense-histogram
+    L1 identity sum_i min(q_i, w_i) == 1 - 0.5|q - w|_1 bit-for-bit
+    (within float tolerance) when W covers all distinct words."""
+    corpus = rand_desc(rng, 3000)
+    v = voc.train(corpus, k=4, levels=3, seed=3)   # 64 words
+    n_words = v.n_words
+    ones = jnp.ones(150, bool)
+    frames = [rand_desc(rng, 150) for _ in range(5)]
+    K, W = 8, 128                                  # W > n_words: exact
+    db = kfdb.KFDatabase.empty(K, W)
+    hists = []
+    for k, f in enumerate(frames):
+        bv = voc.transform(v, jnp.asarray(f), ones)
+        db = kfdb.add(db, k, voc.sparse_bow(bv, W))
+        hists.append(voc.bow_histogram(bv, n_words))
+    q = rand_desc(rng, 150)
+    bq = voc.transform(v, jnp.asarray(q), ones)
+    s_sparse, shared = kfdb.scores(db, voc.sparse_bow(bq, W))
+    hq = voc.bow_histogram(bq, n_words)
+    for k in range(5):
+        dense = float(voc.l1_score(hq, hists[k]))
+        assert abs(float(s_sparse[k]) - dense) < 1e-5, (k, dense)
+    assert (np.asarray(s_sparse[5:]) == 0).all()
+
+
+def test_sparse_bow_partial_frame_and_dup_words(rng):
+    """Invalid slots are dropped; duplicate words sum their tf-idf."""
+    v = voc.train(rand_desc(rng, 2000), k=4, levels=2, seed=4)  # 16 words
+    d = rand_desc(rng, 64)
+    d[1] = d[0]          # force a duplicate word
+    valid = np.ones(64, bool)
+    valid[32:] = False
+    bv = voc.transform(v, jnp.asarray(d), jnp.asarray(valid))
+    sb = voc.sparse_bow(bv, 64)
+    w = np.asarray(sb.word)
+    real = w < int(voc.PAD_WORD)
+    assert (np.diff(w[real]) > 0).all()            # sorted, unique
+    np.testing.assert_allclose(float(np.asarray(sb.weight).sum()), 1.0,
+                               rtol=1e-5)          # L1-normalized
+    hist = np.asarray(voc.bow_histogram(bv, v.n_words))
+    for wid, wt in zip(w[real], np.asarray(sb.weight)[real]):
+        np.testing.assert_allclose(wt, hist[wid], rtol=1e-5)
+
+
+def test_kfdb_query_cost_independent_of_vocab_size():
+    """The scoring path must never materialize an [n_words] array: the
+    same jitted scores/query executables serve a 10^6-word vocabulary —
+    every traced shape depends only on (K, W)."""
+    K, W = 8, 32
+    db = kfdb.KFDatabase.empty(K, W)
+    # words drawn from a 10^6-word id space; dense histograms would need
+    # 4 MB per query and O(K * n_words) for the database
+    big_words = jnp.asarray(
+        np.sort(np.random.RandomState(0).choice(10**6, W, replace=False))
+        .astype(np.int32))
+    sb = voc.SparseBow(big_words, jnp.full(W, 1.0 / W, jnp.float32))
+    db = kfdb.add(db, 0, sb)
+    jaxpr = jax.make_jaxpr(
+        lambda d, q: kfdb.scores(d, q))(db, sb)
+    sizes = [np.prod(v.aval.shape) for eqn in jaxpr.eqns
+             for v in eqn.outvars if hasattr(v.aval, "shape")]
+    assert max(sizes, default=0) <= K * W, max(sizes)
+    s, shared = kfdb.scores(db, sb)
+    assert abs(float(s[0]) - 1.0) < 1e-5           # self-similarity = 1
+    assert int(shared[0]) == W
+
+
+def test_orbvoc_text_roundtrip(rng, tmp_path):
+    """save_orbvoc_text -> load_orbvoc_text preserves transform exactly
+    (word assignment + idf weights) — the DBoW2 ORBvoc.txt format,
+    TemplatedVocabulary.h:1338."""
+    corpus = rand_desc(rng, 2000)
+    v = voc.train(corpus, k=3, levels=3, seed=5)
+    p = str(tmp_path / "voc.txt")
+    voc.save_orbvoc_text(p, v)
+    v2 = voc.load_orbvoc_text(p)
+    assert v2.k == 3 and v2.levels == 3
+    q = rand_desc(rng, 200)
+    ones = jnp.ones(200, bool)
+    b1 = voc.transform(v, jnp.asarray(q), ones)
+    b2 = voc.transform(v2, jnp.asarray(q), ones)
+    np.testing.assert_array_equal(np.asarray(b1.word), np.asarray(b2.word))
+    np.testing.assert_allclose(np.asarray(b1.weight),
+                               np.asarray(b2.weight), rtol=1e-6)
+
+
+def test_orbvoc_text_incomplete_tree(tmp_path):
+    """DBoW2 trees need not be complete: leaves can sit above the bottom
+    and nodes can have < k children. The importer's hole filling must
+    keep descent exact — real children always beat their pad copies."""
+    def line(parent, leaf, desc_byte, weight):
+        d = " ".join([str(desc_byte)] * 32)
+        return f"{parent} {leaf} {d} {weight}\n"
+    # k=2, L=2. Root children: node1 (leaf at level 0! desc 0x00,
+    # weight .7), node2 (internal, desc 0xFF). node2 has ONE child:
+    # node3 (leaf, desc 0xF0, weight .3) — second slot is a hole.
+    p = str(tmp_path / "voc.txt")
+    with open(p, "w") as f:
+        f.write("2 2  0 0\n")
+        f.write(line(0, 1, 0, 0.7))      # node1: shallow leaf
+        f.write(line(0, 0, 255, 0.0))    # node2: internal
+        f.write(line(2, 1, 240, 0.3))    # node3: node2's only child
+    v = voc.load_orbvoc_text(p)
+    assert v.n_words == 4
+    # descriptor near 0x00 -> descends into node1's propagated subtree,
+    # lands on its leftmost bottom word (id 0) with weight .7
+    q = np.zeros((1, 8), np.uint32)
+    bv = voc.transform(v, jnp.asarray(q), jnp.ones(1, bool))
+    assert int(bv.word[0]) == 0
+    np.testing.assert_allclose(float(bv.weight[0]), 0.7, rtol=1e-6)
+    # descriptor 0xFF... -> node2, then node3 beats its hole-pad copy
+    # (equal distance, smaller index wins) -> word id 2, weight .3
+    q2 = np.full((1, 8), 0xFFFFFFFF, np.uint32)
+    bv2 = voc.transform(v, jnp.asarray(q2), jnp.ones(1, bool))
+    assert int(bv2.word[0]) == 2
+    np.testing.assert_allclose(float(bv2.weight[0]), 0.3, rtol=1e-6)
 
 
 def test_ransac_pnp(rng):
