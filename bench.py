@@ -141,7 +141,14 @@ def main():
         # client) must not demote a healthy device to the CPU fallback
         import subprocess
         rc = -1
-        for attempt, probe_s in enumerate((150, 90)):
+        # back-to-back runs: the tunnel server can take minutes to release
+        # the PREVIOUS client's grant, so the probe escalates patience (a
+        # third long attempt) before demoting to the CPU fallback;
+        # override via BENCH_PROBE_S=comma,separated,seconds
+        probe_plan = tuple(
+            int(x) for x in os.environ.get(
+                "BENCH_PROBE_S", "150,90,300").split(","))
+        for attempt, probe_s in enumerate(probe_plan):
             _log(f"probing device health (attempt {attempt + 1}, "
                  f"{probe_s}s subprocess)")
             try:

@@ -37,6 +37,10 @@ class SynthConfig:
     advance: float = 0.025          # m/frame forward drift
     sway: float = 0.35              # lateral sinusoid amplitude (m)
     yaw_amp: float = 0.06           # rad
+    z_start: float = 0.0            # sweep start depth (near the back
+    #                                 wall the camera sees ONLY that wall:
+    #                                 a planar scene, the PnP degeneracy
+    #                                 canary)
     # dynamic object
     dynamic_object: bool = False
     obj_size: float = 1.0           # quad edge length (m)
@@ -116,7 +120,7 @@ def _trajectory(cfg: SynthConfig):
     pos = np.stack([
         cfg.sway * np.sin(2 * np.pi * t / 90.0),
         0.15 * np.sin(2 * np.pi * t / 130.0),
-        cfg.advance * t,
+        cfg.z_start + cfg.advance * t,
     ], axis=1)
     yaw = cfg.yaw_amp * np.sin(2 * np.pi * t / 70.0)
     pitch = 0.5 * cfg.yaw_amp * np.sin(2 * np.pi * t / 110.0 + 1.0)

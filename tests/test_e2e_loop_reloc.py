@@ -74,6 +74,38 @@ def test_relocalization_after_kidnap():
 
 
 @pytest.mark.slow
+def test_relocalization_after_kidnap_planar_wall():
+    """Kidnap facing a PLANAR scene: the camera starts near the back wall
+    so every landmark lies on one plane — the 6-point-DLT degeneracy the
+    reference's EPnP tolerates (PnPsolver.cc). The homography-hypothesis
+    family in ransac_pnp must relocalize here."""
+    scfg = SynthConfig(n_frames=24, width=320, height=240, fx=260.0,
+                       fy=260.0, cx=159.5, cy=119.5, z_start=5.8,
+                       advance=0.01, sway=0.15, yaw_amp=0.04)
+    seq = generate(scfg)
+    # the scene really is one plane: every valid depth pixel on the back
+    # wall z=9 (camera z ~5.8-6.1 -> depth ~2.8-3.3)
+    d0 = seq.depth[0]
+    assert float((d0 > 0).mean()) > 0.99
+    sys_ = dense_kf(make_system(scfg))
+    for i in range(20):
+        st = sys_.track_rgbd(seq.gray[i], seq.depth[i],
+                             float(seq.timestamps[i]))
+    assert st.state == "OK"
+    flat = np.full_like(seq.gray[0], 120.0)
+    zdep = np.zeros_like(seq.depth[0])
+    for j in range(2):
+        st = sys_.track_rgbd(flat, zdep, 1.0 + j * 0.03)
+    assert st.state == "LOST"
+    st = sys_.track_rgbd(seq.gray[5], seq.depth[5], 2.0)
+    assert st.state == "OK", st
+    ts, R, t = sys_.trajectory[-1]
+    center = -np.asarray(R).T @ np.asarray(t)      # tracker frame (cam 0)
+    center_w = seq.R_wc[0] @ center + seq.t_wc[0]
+    assert np.linalg.norm(center_w - seq.t_wc[5]) < 0.05
+
+
+@pytest.mark.slow
 def test_double_orbit_fusion_bounds_map():
     """Two revolutions over the same scene: the first closure's
     SearchAndFuse collapses duplicate landmarks, so the second pass binds

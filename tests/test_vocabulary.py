@@ -155,6 +155,28 @@ def test_kfdb_query_cost_independent_of_vocab_size():
     assert int(shared[0]) == W
 
 
+def test_ransac_pnp_coplanar(rng):
+    """ALL world points on one plane (wall/floor/facade): the 6-point DLT
+    is degenerate here — the planar-homography hypotheses in the same
+    RANSAC batch must recover the pose (ref PnPsolver.cc EPnP handles
+    coplanarity via its control points)."""
+    cam = Intrinsics.create(fx=500.0, fy=500.0, cx=320.0, cy=240.0)
+    # plane z = 0.3*x - 0.2*y + 6 (tilted wall)
+    x = rng.uniform(-3, 3, 120)
+    y = rng.uniform(-2, 2, 120)
+    pts = np.stack([x, y, 0.3 * x - 0.2 * y + 6.0], 1).astype(np.float32)
+    xi = np.concatenate([rng.normal(0, 0.25, 3), rng.normal(0, 0.08, 3)])
+    R_gt, t_gt = se3.se3_exp(jnp.asarray(xi, jnp.float32))
+    uv = np.array(project(cam, se3.se3_apply(R_gt, t_gt, jnp.asarray(pts))))
+    uv += rng.normal(0, 0.4, uv.shape)
+    uv[:25] += rng.uniform(30, 90, (25, 2))       # ~20% outliers
+    res = ransac_pnp(cam, jnp.asarray(pts), jnp.asarray(uv, jnp.float32),
+                     jnp.ones(120, bool), jax.random.PRNGKey(1))
+    assert int(res.n_inliers) > 70, int(res.n_inliers)
+    t_err = np.linalg.norm(np.asarray(res.t) - np.asarray(t_gt))
+    assert t_err < 0.15, t_err
+
+
 def test_orbvoc_text_roundtrip(rng, tmp_path):
     """save_orbvoc_text -> load_orbvoc_text preserves transform exactly
     (word assignment + idf weights) — the DBoW2 ORBvoc.txt format,
