@@ -112,11 +112,14 @@ def main():
                     help="bench the dynamic-scene pipeline: moving object "
                          "+ per-frame boxes + fused H/F classification "
                          "(the framework's namesake workload)")
-    ap.add_argument("--chunk", type=int, default=0,
+    ap.add_argument("--chunk", type=int, default=None,
                     help="temporal chunking: track N consecutive frames "
                          "per device call (ONE upload + ONE packed "
-                         "readback per N frames) — the offline/dataset-"
-                         "throughput mode; decisions lag one chunk")
+                         "readback per N frames) — amortizes the "
+                         "transport round trip; decisions lag one chunk. "
+                         "DEFAULT 6 (measured best: 36.9 fps through the "
+                         "axon tunnel vs 30 fps budget, RESULTS.md); pass "
+                         "--chunk 1 for the per-frame pipeline")
     ap.add_argument("--multi", type=int, default=0,
                     help="batched-serving mode: track N sequences as ONE "
                          "MultiSystem (single chip, one fused device call "
@@ -250,6 +253,11 @@ def main():
         return s.track_rgbd(gray8[i], aux8[i], float(seq.timestamps[i]),
                             detections=det)
 
+    if args.chunk is None:
+        # no-args default: temporal chunking at C=6 — the measured-best
+        # single-sequence mode through the axon tunnel (RESULTS.md:
+        # 36.9 fps vs 24.6 at C=4 and 34.9 at C=8; ATE 22.7 mm)
+        args.chunk = 0 if args.multi else 6
     if args.multi and args.multi > 1:
         return _run_multi(args, scfg, seq, gray8, aux8, cfg, _log,
                           cpu_fallback)
@@ -365,6 +373,20 @@ def _run_chunk(args, scfg, seq, gray8, aux8, cfg, _log, cpu_fallback=False):
         max_frames_between_kf=cfg.tracking.max_frames_between_kf))
     sys_.cfg = real_cfg
     sys_.tracker.cfg = real_cfg
+    # compile-warm the loop-detection graph: its first REAL invocation is
+    # at keyframe k >= 10, typically inside the timed window — through
+    # the tunnel that lands a multi-second compile straggler on one chunk
+    # (measured: max 2.2 s). One dummy call compiles the same executable.
+    if sys_.loop is not None:
+        import jax.numpy as jnp
+        from slam_dynamic_tpu.backend.loop_closing import _detect_device
+        from slam_dynamic_tpu.models import vocabulary as voc_mod
+        m = sys_.tracker.map
+        bv = voc_mod.transform(sys_.voc, m.kf_kp_desc[0], m.kf_kp_valid[0])
+        sb = voc_mod.sparse_bow(bv, top_w=sys_.loop.db.word.shape[1])
+        np.asarray(_detect_device(sys_.loop.db, sb, m.covis, m.kf_valid,
+                                  jnp.int32(0)))
+        _log("loop-detect graph warmed")
     _log("timed window start")
     t0 = time.time()
     with _progress_lock:

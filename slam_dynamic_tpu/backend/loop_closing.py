@@ -191,38 +191,47 @@ class LoopCloser:
         self._last_detect_kf = -1000       # streaks valid only consecutively
 
     # ------------------------------------------------------------------
-    def on_keyframe(self, m: MapState, k: int, stereo: bool) -> \
-            tuple[MapState, LoopResult]:
-        """Process new keyframe k: detect/verify/correct. Returns updated
-        map + result. Also adds k to the BoW database."""
+    def on_keyframe(self, m: MapState, k: int, stereo: bool,
+                    seq: int = None) -> tuple[MapState, LoopResult]:
+        """Process new keyframe at slot k: detect/verify/correct. Returns
+        updated map + result. Also adds k to the BoW database. `seq` is
+        the MONOTONIC insertion counter (Tracker.kf_seq): once slots
+        recycle at capacity, slot ids stop encoding temporal order, so
+        warmup/gap/streak bookkeeping keys on seq (defaults to k for
+        direct callers below capacity)."""
+        if seq is None:
+            seq = k
         bv = voc_mod.transform(self.voc, m.kf_kp_desc[k], m.kf_kp_valid[k])
         hist = voc_mod.sparse_bow(bv, top_w=self.db.word.shape[1])
         result = LoopResult()
 
         cfg = self.cfg.loop
-        if cfg.enabled and k - self.last_loop_kf > cfg.kf_gap and k >= 10:
-            cand_k = self._detect(m, k, hist)
+        if cfg.enabled and seq - self.last_loop_kf > cfg.kf_gap \
+                and seq >= 10:
+            cand_k = self._detect(m, k, hist, seq)
             if cand_k >= 0:
                 ok, s_rel, R_rel, t_rel, n_inl, n_total = self._compute_sim3(
                     m, k, cand_k, stereo)
                 if ok:
                     m = self._correct(m, k, cand_k, s_rel, R_rel, t_rel)
                     m = self._search_and_fuse(m, k, cand_k)
-                    self.last_loop_kf = k
+                    self.last_loop_kf = seq
                     result = LoopResult(True, cand_k, n_inl, n_total)
         self.db = kfdb_mod.add(self.db, k, hist)
         return m, result
 
     # ------------------------------------------------------------------
-    def _detect(self, m: MapState, k: int, hist) -> int:
+    def _detect(self, m: MapState, k: int, hist, seq: int = None) -> int:
         """BoW candidates excluding covisibles; consistency streak >= th
         (ref DetectLoop :104-231). ONE device call + ONE readback."""
+        if seq is None:
+            seq = k
         # the streak means CONSECUTIVE keyframes (ref mnCovisibilityConsistencyTh):
         # if detection skipped any keyframe in between (post-closure kf_gap,
         # warmup gate), stale streaks must not carry over
-        if k != self._last_detect_kf + 1:
+        if seq != self._last_detect_kf + 1:
             self.streaks = {}
-        self._last_detect_kf = k
+        self._last_detect_kf = seq
         packet = np.asarray(_detect_device(
             self.db, hist, m.covis, m.kf_valid, jnp.int32(k)))
         best = int(packet[0])
@@ -343,12 +352,19 @@ class LoopCloser:
             e_w.append(w)
             e_ess.append(essential)
 
-        for i in range(1, n_kf):
-            if not valid[i]:
-                continue
+        # temporal order comes from frame ids, NOT slot indices: once
+        # keyframe slots recycle at capacity (state.next_kf_slot), a
+        # recycled slot holds a NEWER keyframe than higher-indexed ones
+        fids = np.asarray(m.kf_frame_id)
+        slots = [int(s) for s in np.nonzero(valid[:n_kf])[0]]
+        slots.sort(key=lambda s: int(fids[s]))
+        for rank, i in enumerate(slots[1:], start=1):
             # spanning edge to strongest earlier covisible (or previous kf)
-            earlier = covis[i, :i] * valid[:i]
-            parent = int(np.argmax(earlier)) if earlier.max() > 0 else i - 1
+            earlier_mask = valid.copy()
+            earlier_mask &= fids < fids[i]
+            earlier = covis[i] * earlier_mask
+            parent = int(np.argmax(earlier)) if earlier.max() > 0 \
+                else slots[rank - 1]
             add_edge(i, parent, 1.0, essential=True)
             # strong covisibility edges (weight >= 100, ref :881)
             for j in np.nonzero(earlier >= 100)[0]:

@@ -35,10 +35,13 @@ def insert_keyframe_stage(m: MapState, cam: Intrinsics, fd: FrameData,
                           do_ba: bool = True, do_refresh: bool = False,
                           tri_neighbors: int = 0):
     """Insert KF + full mapping pass. Returns (map, k) with k the new
-    keyframe slot (device scalar; the host mirrors the counter)."""
-    k = m.n_kf
-    m = make_keyframe(m, cam, fd, R, t, frame_id, timestamp, obs_lm,
-                      depth_th, scale_factor, n_levels=n_levels)
+    keyframe slot (device scalar; the host mirrors the append counter and
+    only reads k back at capacity, when a culled slot was recycled;
+    k = -1 means full with nothing culled — the whole stage no-ops)."""
+    m, k_slot = make_keyframe(m, cam, fd, R, t, frame_id, timestamp,
+                              obs_lm, depth_th, scale_factor,
+                              n_levels=n_levels)
+    k = jnp.maximum(k_slot, 0)     # -1 (no-op insert) -> harmless row 0
     m = cull_landmarks(m, k)
     if tri_neighbors > 0:
         # CreateNewMapPoints for stereo/RGB-D too (ref LocalMapping.cc:

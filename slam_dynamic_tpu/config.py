@@ -91,6 +91,11 @@ class TrackingConfig:
     ref_frame_age_s: float = 0.2           # ref :623
     frame_queue_factor: float = 0.3        # queue cap 0.3*fps, ref :954
     dyn_confirm_frames: int = 2            # 2 consecutive dyn frames, ref :1213
+    bow_fallback: bool = True              # on track failure, descriptor-
+    # match vs the reference keyframe (no projection gate) and re-optimize
+    # BEFORE declaring LOST — the TrackReferenceKeyFrame analog (ref
+    # Tracking.cc:1618-1660, SearchByBoW ORBmatcher.cc:159); one extra
+    # device call on the rare bad frame
     vo_mode_inliers: int = 20              # localization-only "VO mode"
     # threshold: below this many local-map inliers the tracker is deemed
     # to be doing visual odometry (ref mbVO, Tracking.cc:728-766) and the

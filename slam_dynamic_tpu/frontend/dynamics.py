@@ -41,6 +41,10 @@ class DynamicsModule:
         self._dummy_fd = None
         self._have0 = None
         self._have1 = None
+        # per-object 3D state, smoothed per frame (box id -> dict with
+        # d, t (camera-frame center), R (OBB rotation rows), ext, ts)
+        self.obj_state = {}
+        self._obj_depth = {}       # box id -> smoothed depth
 
     # ------------------ fused-path API (one device call per frame) -------
     def pick_ref_fd(self, ts: float, n_slots: int):
@@ -77,6 +81,41 @@ class DynamicsModule:
                 boxes.dyn_streak[i] = 0
                 if boxes.status[i] != 2:
                     boxes.status[i] = 1
+
+    def update_box3d(self, boxes, box3d, timestamp: float):
+        """Per-frame dynamic-object 3D state with the reference's gates
+        (ref Tracking.cc:809-881): status==2 boxes only, image-edge 20%
+        margin, depth <= 20 m, 5 m jump rejection, weight-3 temporal
+        smoothing keyed by box TRACK id (survives slot churn). box3d is
+        the raw [B, 16] device block (dynamics_ops.box_3d_state)."""
+        import numpy as np
+        if box3d is None or len(boxes.boxes) == 0:
+            return
+        W = self.cfg.camera.width
+        cam = self.cam
+        for i in range(min(len(boxes.boxes), box3d.shape[0])):
+            if boxes.status[i] != 2:
+                continue
+            cx = (boxes.boxes[i, 0] + boxes.boxes[i, 2]) * 0.5
+            if cx < 0.2 * W or cx > 0.8 * W:    # edge depth unreliable
+                continue
+            d = float(box3d[i, 0])
+            if d <= 0 or d > 20.0:
+                continue
+            bid = int(boxes.ids[i])
+            last = self._obj_depth.get(bid)
+            if last is not None:
+                if abs(last - d) > 5.0:          # jump rejection
+                    continue
+                d = (last + 2.0 * d) / 3.0       # weight-3 smoothing
+            self._obj_depth[bid] = d
+            cy = (boxes.boxes[i, 1] + boxes.boxes[i, 3]) * 0.5
+            # box-center ray at the smoothed depth (ref tcd)
+            t = np.array([(cx - cam.cx) / cam.fx * d,
+                          (cy - cam.cy) / cam.fy * d, d], np.float32)
+            self.obj_state[bid] = dict(
+                d=d, t=t, R=np.asarray(box3d[i, 4:13]).reshape(3, 3),
+                ext=np.asarray(box3d[i, 13:16]), ts=timestamp)
 
     def pre_track(self, frame, boxes, tracker):
         """Run the H/F reclassification against the reference frame before

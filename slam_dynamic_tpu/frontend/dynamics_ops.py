@@ -115,6 +115,46 @@ def classify_boxes(cam: Intrinsics, ref: FrameData, cur: FrameData,
 
 
 @jax.jit
+def box_3d_state(cam: Intrinsics, fd: FrameData, boxes, box_active):
+    """Per-frame per-box 3D state from in-box depth keypoints — the
+    reference computes this EVERY frame for confirmed-dynamic boxes and
+    hands it to the viewer (/root/reference/src/Tracking.cc:809-881:
+    closest-to-center depth + PCL MomentOfInertiaEstimation OBB).
+
+    Runs inside the fused dyn step; the gating (image-edge 20%, 20 m max,
+    5 m jump rejection, weight-3 temporal smoothing, status==2 filter)
+    is HOST logic on the returned packet block (box ids live on host).
+
+    Returns [B, 16] float32: [d_center, obb_center xyz, obb_axes flat
+    (rows = principal dirs), obb_extents xyz] in CAMERA frame; d_center
+    = -1 when the box has no depth keypoints.
+    """
+    from ..ops.pointcloud import obb_from_points
+    from ..utils.camera import backproject
+    inside = ((fd.xy[None, :, 0] >= boxes[:, None, 0])
+              & (fd.xy[None, :, 0] <= boxes[:, None, 2])
+              & (fd.xy[None, :, 1] >= boxes[:, None, 1])
+              & (fd.xy[None, :, 1] <= boxes[:, None, 3])
+              & box_active[:, None])
+    mask = inside & (fd.valid & (fd.depth > 0))[None, :]       # [B, N]
+    cx = (boxes[:, 0] + boxes[:, 2]) * 0.5
+    cy = (boxes[:, 1] + boxes[:, 3]) * 0.5
+    # depth of the keypoint closest to the box center (the reference's
+    # min_dist loop — implementing the intended 2D distance; the original
+    # has a typo using pt.x in both terms)
+    d2 = ((fd.xy[None, :, 0] - cx[:, None]) ** 2
+          + (fd.xy[None, :, 1] - cy[:, None]) ** 2)
+    d2 = jnp.where(mask, d2, jnp.inf)
+    j = jnp.argmin(d2, axis=1)                                 # [B]
+    B = boxes.shape[0]
+    d = jnp.where(jnp.isfinite(d2[jnp.arange(B), j]), fd.depth[j], -1.0)
+    xc = backproject(cam, fd.xy, fd.depth)                     # [N, 3]
+    obb = jax.vmap(lambda mk: obb_from_points(xc, mk))(mask)
+    return jnp.concatenate([
+        d[:, None], obb.center, obb.axes.reshape(B, 9), obb.extents],
+        axis=1)
+
+
 def reinstate_features(fd: FrameData, boxes, static_boxes) -> FrameData:
     """Flip quarantined features inside reclassified-static boxes back to
     static (Frame::UpdateFrame, ref Frame.cc:607-641 — there array surgery,

@@ -422,8 +422,11 @@ def _chunk_body(m, cam, bounds, images, auxs, boxes, box_active,
                             depth_th, scale_factor, min_inliers_track,
                             stereo, max_kf, max_lm, n_levels)
         if verdict is not None:
+            from .dynamics_ops import box_3d_state
+            b3d = box_3d_state(cam, fd, boxes[j], box_active[j])
             out = out._replace(packed=jnp.concatenate(
-                [out.packed, verdict.astype(jnp.float32)]))
+                [out.packed, verdict.astype(jnp.float32),
+                 b3d.reshape(-1)]))
         outs.append(out)
         # chain: landmark stat counters + last-frame state ride on device
         mm = mm._replace(lm_visible=out.lm_visible, lm_found=out.lm_found)
@@ -539,5 +542,10 @@ def fused_track_step_dyn(
                         R_last, t_last, ref_kf, mm_radius, local_radius,
                         depth_th, scale_factor, min_inliers_track, stereo,
                         max_kf, max_lm, n_levels)
-    packed = jnp.concatenate([out.packed, verdict.astype(jnp.float32)])
+    # per-frame per-box 3D state rides the packet (ref Tracking.cc:809-881
+    # recomputes depth+OBB every frame, not only at keyframes)
+    from .dynamics_ops import box_3d_state
+    b3d = box_3d_state(cam, fd, boxes, box_active)
+    packed = jnp.concatenate([out.packed, verdict.astype(jnp.float32),
+                              b3d.reshape(-1)])
     return out._replace(packed=packed)

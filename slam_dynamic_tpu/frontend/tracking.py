@@ -38,6 +38,47 @@ def _gather_lm(m: MapState, ids, mask):
             m.lm_dist_min[idc], m.lm_dist_max[idc], ok)
 
 
+@jax.jit
+def _slot_probe(m: MapState):
+    """[slot, ok, R_old flat (9), t_old (3)] of the next keyframe
+    insertion (see state.next_kf_slot) — the old tenant's pose lets the
+    host materialize trajectory entries that reference the recycled slot.
+    Read back by the host only at capacity."""
+    from ..worldmap.state import next_kf_slot
+    slot, ok = next_kf_slot(m)
+    return jnp.concatenate([
+        jnp.stack([slot.astype(jnp.float32), ok.astype(jnp.float32)]),
+        m.kf_R[slot].reshape(-1), m.kf_t[slot]])
+
+
+@jax.jit
+def _bow_recover(m: MapState, cam, fd, k, R0, t0):
+    """TrackReferenceKeyFrame analog (ref /root/reference/src/
+    Tracking.cc:1618-1660 + ORBmatcher::SearchByBoW :159): descriptor-
+    match the frame against the reference keyframe's landmark keypoints
+    with NO projection gate (the stage that survives a wrong motion
+    model), then re-optimize the pose. Returns (R, t, obs[N],
+    packed [14]: n_inliers, n_matches, R flat, t)."""
+    from ..backend.relocalization import _match_frame_kf
+    from ..optim.pose_opt import optimize_pose
+    lm = _match_frame_kf(fd.desc, fd.valid & fd.static_mask,
+                         m.kf_kp_desc[k], m.kf_kp_valid[k],
+                         m.kf_obs_lm[k])
+    L = m.lm_pos.shape[0]
+    ok = (lm >= 0) & m.lm_valid[jnp.clip(lm, 0, L - 1)]
+    xw = m.lm_pos[jnp.clip(lm, 0, L - 1)]
+    inv_s2 = 1.0 / (fd.scale ** 2)
+    res = optimize_pose(cam, R0, t0, xw, fd.xy, inv_s2, ok, stereo=False,
+                        rounds=4, iters=10)
+    inl = res.inliers & ok
+    obs = jnp.where(inl, lm, -1).astype(jnp.int32)
+    packed = jnp.concatenate([
+        jnp.stack([inl.sum().astype(jnp.float32),
+                   ok.sum().astype(jnp.float32)]),
+        res.R.reshape(-1), res.t])
+    return res.R, res.t, obs, packed
+
+
 class _ChunkPacket:
     """ONE readback shared by a chunk's frames: the [C, 28] packet is
     materialized on first access and cached for the other rows."""
@@ -74,6 +115,9 @@ class TrackStats:
     n_inliers_map: int = 0
     is_keyframe: bool = False
     verdicts: object = None   # [B] box verdicts (dynamic pipeline)
+    box3d: object = None      # [B, 16] per-box 3D state (d, obb center,
+    #                           axes flat, extents — camera frame, raw;
+    #                           gating/smoothing in DynamicsModule)
     frame_id: int = -1        # id of the FINALIZED frame (lags the input
     #                           frame by pipeline_depth in pipelined mode)
     np_R: object = None       # finalized camera pose (host numpy)
@@ -99,7 +143,12 @@ class Tracker:
         self.frames_since_kf = 0
         self.last_kf_inliers = 0
         self.n_kf_host = 0     # host mirror of map.n_kf (avoids readbacks)
+        self.kf_seq = 0        # monotonic KF insertion count: keeps loop
+        # detection streak/gap logic ordered once slot ids recycle at
+        # capacity (slot index != temporal order from then on)
         self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        self._traj_by_slot = {}   # kf slot -> trajectory indices (for
+        #                           materialization when a slot recycles)
         self.on_keyframe: Optional[Callable[[int], None]] = None
         # optional relocalizer: frame -> (ok, R, t, obs_lm) (wired by System)
         self.relocalizer: Optional[Callable] = None
@@ -247,8 +296,7 @@ class Tracker:
 
         st = self._post_track(frame, out)
         if dyn is not None:
-            st.verdicts = self._last_packed[28:28 + cfg.dynamic.max_boxes
-                                            ].astype(np.int32)
+            self._split_dyn_packet(st)
         self._bookkeep(frame)
         return st
 
@@ -398,13 +446,21 @@ class Tracker:
         saved_last = self.last_frame
         st = self._post_track(frame, out)
         if was_dyn:
-            st.verdicts = self._last_packed[
-                28:28 + self.cfg.dynamic.max_boxes].astype(np.int32)
+            self._split_dyn_packet(st)
         # _post_track may set state/insert KF; bookkeeping must see the
         # frame BEFORE the currently-dispatched one as "last"
         self._bookkeep_pipelined(frame)
         self.last_frame = saved_last
         return st
+
+    def _split_dyn_packet(self, st: TrackStats):
+        """Slice the dyn packet tail: [28:28+B] verdicts,
+        [28+B : 28+B+16B] per-box 3D state (see dynamics_ops.box_3d_state)."""
+        B = self.cfg.dynamic.max_boxes
+        pk = self._last_packed
+        st.verdicts = pk[28:28 + B].astype(np.int32)
+        if pk.shape[0] >= 28 + B + 16 * B:
+            st.box3d = pk[28 + B:28 + B + 16 * B].reshape(B, 16)
 
     def _finalize_pending(self):
         """Drain ALL in-flight frames (mode switch / trajectory read)."""
@@ -412,6 +468,30 @@ class Tracker:
         while self._pending:
             st = self._finalize_one()
         return st
+
+    def _bow_fallback(self, frame: Frame, np_R, np_t):
+        """Run the TrackReferenceKeyFrame recovery (see _bow_recover);
+        returns (n_inliers, frame) on success, None to go LOST. Accepts
+        at the local-map inlier bar (the reference requires its
+        TrackReferenceKeyFrame winner to then pass TrackLocalMap >= 30,
+        Tracking.cc:1686-1694 — matching vs one KF at the same bar is
+        the fused-path equivalent)."""
+        cfg = self.cfg
+        if not cfg.tracking.bow_fallback or self.last_kf_id < 0 \
+                or frame.data is None:
+            return None
+        R, t, obs, packed = _bow_recover(
+            self.map, self.cam, frame.data, jnp.int32(self.last_kf_id),
+            jnp.asarray(np_R), jnp.asarray(np_t))
+        pk = np.asarray(packed)
+        n_good = int(pk[0])
+        if n_good < cfg.tracking.min_inliers_localmap:
+            return None
+        frame.R, frame.t = R, t
+        frame.np_R = pk[2:11].reshape(3, 3)
+        frame.np_t = pk[11:14]
+        frame.obs_lm = obs
+        return n_good, frame
 
     def _bookkeep_pipelined(self, frame: Frame):
         if frame.R is None:
@@ -421,6 +501,7 @@ class Tracker:
         k, Rk, tk = self._ref_kf_pose(frame)
         R_rel = R @ Rk.T
         t_rel = t - R_rel @ tk
+        self._traj_by_slot.setdefault(k, []).append(len(self.trajectory))
         self.trajectory.append((frame.timestamp, k, R_rel, t_rel))
         frame.np_R, frame.np_t = R, t
 
@@ -518,6 +599,8 @@ class Tracker:
             k, Rk, tk = self._ref_kf_pose(frame)
             R_rel = R @ Rk.T
             t_rel = t - R_rel @ tk
+            self._traj_by_slot.setdefault(k, []).append(
+                len(self.trajectory))
             self.trajectory.append((frame.timestamp, k, R_rel, t_rel))
             frame.np_R, frame.np_t = R, t
         self.last_frame = frame
@@ -544,15 +627,32 @@ class Tracker:
 
     def trajectory_poses(self) -> List[Tuple[float, np.ndarray, np.ndarray]]:
         """Absolute (Tcw) per-frame trajectory composed against the CURRENT
-        keyframe poses (so BA/loop corrections are reflected)."""
+        keyframe poses (so BA/loop corrections are reflected). Entries with
+        k = -1 were materialized to ABSOLUTE when their reference slot was
+        recycled at capacity (the analog of the reference's bad-reference
+        walk in SaveTrajectoryTUM, /root/reference/src/System.cc:470-486)."""
         kf_R = np.asarray(self.map.kf_R)
         kf_t = np.asarray(self.map.kf_t)
         out = []
         for ts, k, R_rel, t_rel in self.trajectory:
+            if k < 0:
+                out.append((ts, R_rel, t_rel))
+                continue
             R = R_rel @ kf_R[k]
             t = R_rel @ kf_t[k] + t_rel
             out.append((ts, R, t))
         return out
+
+    def _materialize_slot_trajectory(self, k: int, old_R, old_t):
+        """Before keyframe slot k is recycled, convert every trajectory
+        entry referencing it to an absolute pose using the OLD tenant's
+        (frozen) pose — afterwards the slot holds an unrelated camera."""
+        for idx in self._traj_by_slot.pop(k, []):
+            ts, kk, R_rel, t_rel = self.trajectory[idx]
+            if kk != k:
+                continue
+            self.trajectory[idx] = (ts, -1, R_rel @ old_R,
+                                    R_rel @ old_t + t_rel)
 
     # ------------------------------------------------------------------
     def _initialize(self, frame: Frame) -> TrackStats:
@@ -570,11 +670,12 @@ class Tracker:
         frame.R, frame.t = R0, t0
         no_obs = jnp.full(frame.data.xy.shape[0], -1, jnp.int32)
         depth_th = float(self.cfg.camera.th_depth * self.cam.baseline)
-        self.map = make_keyframe(
+        self.map, _slot = make_keyframe(
             self.map, self.cam, frame.data, R0, t0, frame.frame_id,
             frame.timestamp, no_obs, depth_th, self._sf,
             n_levels=self.cfg.orb.n_levels)
         self.n_kf_host += 1
+        self.kf_seq += 1
         k = self.n_kf_host - 1
         # frame observations = what the KF just bound
         frame.obs_lm = self.map.kf_obs_lm[k]
@@ -652,6 +753,7 @@ class Tracker:
         frame.obs_lm = self.map.kf_obs_lm[1]
         self.state = "OK"
         self.n_kf_host = 2
+        self.kf_seq = 2
         self.last_kf_id = 1
         self.frames_since_kf = 0
         self.last_kf_inliers = int((frame.obs_lm >= 0).sum())
@@ -699,6 +801,7 @@ class Tracker:
         # exist (slots are reused) — exporting them would compose garbage
         # (ref Tracking::Reset clears mlRelativeFramePoses the same way)
         self.trajectory = []
+        self._traj_by_slot = {}
         self.last_kf_id = -1
         self.frames_since_kf = 0
         self.last_kf_inliers = 0
@@ -707,6 +810,7 @@ class Tracker:
         self._init_ref = None
         self._prev2_pose = None
         self.n_kf_host = 0
+        self.kf_seq = 0
         self._pending.clear()
         self._prefetch.clear()
 
@@ -789,12 +893,26 @@ class Tracker:
                                          lm_found=out.lm_found)
         if n_mm < cfg.tracking.min_inliers_track or \
                 n_map < cfg.tracking.min_inliers_localmap:
-            self.state = "LOST"
-            frame.R, frame.t = out.R, out.t
-            frame.np_R, frame.np_t = np_R, np_t
-            frame.obs_lm = out.obs_lm
-            return TrackStats("LOST", n_inliers_mm=n_mm, n_inliers_map=n_map,
-                              frame_id=frame.frame_id)
+            # BoW fallback vs the reference keyframe BEFORE going LOST
+            # (ref Tracking.cc:1618-1660): projection-gated search dies
+            # when the motion model is wrong; ungated descriptor matching
+            # vs the ref KF survives. One extra device call, rare frames.
+            rec = self._bow_fallback(frame, np_R, np_t)
+            if rec is None:
+                self.state = "LOST"
+                frame.R, frame.t = out.R, out.t
+                frame.np_R, frame.np_t = np_R, np_t
+                frame.obs_lm = out.obs_lm
+                return TrackStats("LOST", n_inliers_mm=n_mm,
+                                  n_inliers_map=n_map,
+                                  frame_id=frame.frame_id)
+            n_good, frame = rec
+            self.state = "OK"
+            self.frames_since_kf += 1
+            self._prev2_pose = None        # velocity invalid after a jump
+            return TrackStats("OK", n_inliers_mm=n_mm, n_inliers_map=n_good,
+                              frame_id=frame.frame_id, np_R=frame.np_R,
+                              np_t=frame.np_t)
 
         frame.R, frame.t = out.R, out.t
         frame.np_R, frame.np_t = np_R, np_t
@@ -826,9 +944,9 @@ class Tracker:
         if not self.localization_only and \
                 self._need_keyframe_counts(n_map, close_bound,
                                            close_unbound):
-            before = self.n_kf_host
+            before = self.kf_seq
             self._create_keyframe(frame, n_map)
-            st.is_keyframe = self.n_kf_host > before
+            st.is_keyframe = self.kf_seq > before
         return st
 
     # ------------------------------------------------------------------
@@ -851,13 +969,25 @@ class Tracker:
         from ..backend.mapping_stage import insert_keyframe_stage
         cfg = self.cfg
         if self.n_kf_host >= cfg.capacity.max_keyframes:
-            # capacity exhausted: insert_keyframe would no-op on device, so
-            # don't let the host mirror run ahead — keep tracking against
-            # the existing map (degrades gracefully instead of crashing)
-            return
+            # at capacity: recycle a CULLED slot (KeyFrameCulling analog —
+            # the reference deletes redundant KeyFrames; the fixed-shape
+            # SoA reuses their rows, so KITTI-length sequences keep
+            # inserting). ONE tiny [2]-int readback per KF event, paid
+            # only at capacity. No culled slot -> graceful no-insert.
+            probe = np.asarray(_slot_probe(self.map))
+            if probe[1] == 0:
+                return
+            k = int(probe[0])
+            # trajectory entries relative to the old tenant become
+            # absolute NOW — afterwards slot k holds an unrelated camera
+            self._materialize_slot_trajectory(
+                k, probe[2:11].reshape(3, 3), probe[11:14])
+            self._kf_pose_cache.pop(k, None)     # stale pose of old tenant
+        else:
+            self.n_kf_host += 1
+            k = self.n_kf_host - 1
+        self.kf_seq += 1         # monotonic insertion counter (loop gates)
         dc = self._scalar_consts()
-        self.n_kf_host += 1
-        k = self.n_kf_host - 1
         # the whole insert->cull->fuse->BA->cull chain is ONE device call
         self.map, _ = insert_keyframe_stage(
             self.map, self.cam, frame.data, frame.R, frame.t,
@@ -867,7 +997,8 @@ class Tracker:
             n_levels=cfg.orb.n_levels, stereo=self.stereo_obs,
             max_kf=cfg.capacity.local_ba_keyframes,
             max_lm=cfg.capacity.local_ba_landmarks,
-            do_ba=(k >= 2), do_refresh=(k % 4 == 3),
+            do_ba=(self.kf_seq >= 3),
+            do_refresh=((self.kf_seq - 1) % 4 == 3),
             tri_neighbors=(cfg.mapping.stereo_tri_neighbors
                            if self.stereo_obs else 0))
         if not self.stereo_obs:

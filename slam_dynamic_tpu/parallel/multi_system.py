@@ -467,9 +467,9 @@ class MultiSystem:
             frame = make_frame()
             tr.last_frame = frame
             pre_map = tr.map
-            before = tr.n_kf_host
+            before = tr.kf_seq
             tr._create_keyframe(frame, n_map)
-            st.is_keyframe = tr.n_kf_host > before
+            st.is_keyframe = tr.kf_seq > before
             if st.is_keyframe:
                 # the ref-KF id enters the batch from the next dispatch;
                 # the refreshed observation row only in sync mode (in

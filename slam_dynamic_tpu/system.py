@@ -98,7 +98,8 @@ class System:
     def _on_keyframe(self, k: int):
         self._ensure_voc()
         stereo = self.cfg.sensor in ("stereo", "rgbd")
-        m, result = self.loop.on_keyframe(self.tracker.map, k, stereo)
+        m, result = self.loop.on_keyframe(self.tracker.map, k, stereo,
+                                          seq=self.tracker.kf_seq)
         self.tracker.map = m
         self.last_loop = result
         if result.closed and self.cfg.loop.run_global_ba:
@@ -273,6 +274,8 @@ class System:
             for st in sts:
                 if st.verdicts is not None and len(self.boxes.boxes):
                     self.dynamics.update_streaks(self.boxes, st.verdicts)
+                    self.dynamics.update_box3d(self.boxes, st.box3d,
+                                               timestamps[0])
             for fr, _, _ in self.tracker._pending:
                 if fr.frame_id >= first_id:
                     self.dynamics.push_fd(fr.timestamp, fr.data)
@@ -328,6 +331,7 @@ class System:
             return
         if st.verdicts is not None and len(self.boxes.boxes):
             self.dynamics.update_streaks(self.boxes, st.verdicts)
+            self.dynamics.update_box3d(self.boxes, st.box3d, timestamp)
         lf = self.tracker.last_frame
         if lf is not None and self.tracker.state == "OK":
             self.dynamics.push_fd(timestamp, lf.data)
@@ -387,6 +391,26 @@ class System:
             dyn_mask=mask, boxes=boxes, box_ids=box_ids,
             box_dynamic=box_dyn)
 
+    @property
+    def object_states(self):
+        """Per-object smoothed 3D state (box id -> {d, t, R, ext, ts}),
+        refreshed EVERY tracked frame — the reference hands the same
+        per-frame (tcd, Rcd) to its viewer (Tracking.cc:871-878)."""
+        if self.dynamics is None:
+            return {}
+        return self.dynamics.obj_state
+
+    def export_object_obbs_ply(self, path: str) -> int:
+        """Per-frame dynamic-object boxes as a PLY edge cloud
+        (MapDrawer::DrawDynamics analog for headless TPU hosts)."""
+        from .viz.headless import export_obbs_ply
+        from .ops.pointcloud import OBB
+        import jax.numpy as jnp
+        obbs = {bid: OBB(jnp.asarray(s["t"]), jnp.asarray(s["R"]),
+                         jnp.asarray(s["ext"]), True)
+                for bid, s in self.object_states.items()}
+        return export_obbs_ply(path, obbs)
+
     def save_pcd(self, path: str) -> int:
         """Dense-cloud export (ref System::SavePCD, System.cc:430).
         Requires cfg.pointcloud.enabled; returns the point count."""
@@ -433,6 +457,7 @@ class System:
         t.flush()              # drain any in-flight pipelined frames
         t.map = m
         t.n_kf_host = int(m.n_kf)
+        t.kf_seq = t.n_kf_host
         t.last_kf_id = t.n_kf_host - 1
         t.last_frame = None
         t.state = "LOST" if t.n_kf_host > 0 else "NOT_INITIALIZED"

@@ -16,24 +16,26 @@ import jax.numpy as jnp
 
 from ..utils.camera import Intrinsics, backproject
 from ..frontend.frame import FrameData
-from .state import MapState, insert_keyframe, add_landmarks
+from .state import MapState, insert_keyframe, add_landmarks, next_kf_slot
 
 
 @functools.partial(jax.jit, static_argnames=("n_levels",))
 def make_keyframe(m: MapState, cam: Intrinsics, fd: FrameData, R, t,
                   frame_id, timestamp, obs_lm, depth_th, scale_factor,
-                  min_create=100, n_levels: int = 8) -> MapState:
+                  min_create=100, n_levels: int = 8):
     """Insert keyframe and create landmarks for unbound keypoints with depth.
 
     obs_lm: [N] int32 global landmark id per keypoint (-1 = unbound).
     depth_th: metres — points closer than this always spawn landmarks; the
     `min_create` nearest candidates spawn regardless (ref :1972-1979).
+    Returns (map, slot) — slot is the written keyframe row (a culled row
+    is recycled at capacity; -1 = full with nothing culled, no-op).
     """
+    k, slot_ok = next_kf_slot(m)
     obs_write = jnp.where(fd.valid & fd.static_mask, obs_lm, -1)
     m = insert_keyframe(m, R, t, frame_id, timestamp, fd.xy, fd.level,
                         fd.angle, fd.desc, fd.valid & fd.static_mask, fd.ur,
                         fd.depth, obs_write)
-    k = m.n_kf - 1
 
     cand = fd.valid & fd.static_mask & (fd.depth > 0) & (obs_lm < 0)
     # rank by depth among candidates (closest first)
@@ -55,8 +57,8 @@ def make_keyframe(m: MapState, cam: Intrinsics, fd: FrameData, R, t,
 
     slots = jnp.arange(fd.xy.shape[0], dtype=jnp.int32)
     m = add_landmarks(m, xw, fd.desc, normal, dmin, dmax,
-                      jnp.full_like(slots, k), slots, want)
-    return m
+                      jnp.full_like(slots, k), slots, want & slot_ok)
+    return m, jnp.where(slot_ok, k, -1)
 
 
 @jax.jit

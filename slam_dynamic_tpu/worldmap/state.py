@@ -149,14 +149,33 @@ def update_covisibility(m: MapState, k: jnp.ndarray) -> MapState:
 
 
 @jax.jit
+def next_kf_slot(m: MapState):
+    """(slot, ok) the next insert_keyframe will use: the append cursor
+    while free slots remain, else the first CULLED slot — the reference
+    deletes redundant KeyFrame objects (KeyFrameCulling,
+    /root/reference/src/LocalMapping.cc:633-697); the fixed-capacity SoA
+    recycles their rows instead, so long sequences keep inserting at
+    capacity. ok=False only when full with nothing culled."""
+    k = m.n_kf
+    K = m.kf_valid.shape[0]
+    free_ok = k < K
+    culled = ~m.kf_valid & (jnp.arange(K) < k)
+    slot = jnp.where(free_ok, jnp.minimum(k, K - 1),
+                     jnp.argmax(culled).astype(jnp.int32))
+    return slot.astype(jnp.int32), free_ok | jnp.any(culled)
+
+
 def insert_keyframe(m: MapState, R, t, frame_id, timestamp, kp_xy, kp_level,
                     kp_angle, kp_desc, kp_valid, kp_ur, kp_depth,
                     obs_lm) -> MapState:
-    """Append a keyframe snapshot at the next free slot (no-op if full)."""
+    """Write a keyframe snapshot at next_kf_slot (no-op when full with
+    nothing culled). Reusing a culled slot overwrites every kf_* row and
+    recomputes its covisibility row/col; the culled KF's observations and
+    n_obs contributions were already cleared at cull time
+    (backend/fusion.cull_keyframes)."""
     k = m.n_kf
     K = m.kf_valid.shape[0]
-    ok = k < K
-    kk = jnp.minimum(k, K - 1)
+    kk, ok = next_kf_slot(m)
 
     def setk(arr, val):
         return jnp.where(ok, arr.at[kk].set(val), arr)
@@ -174,7 +193,7 @@ def insert_keyframe(m: MapState, R, t, frame_id, timestamp, kp_xy, kp_level,
         kf_kp_ur=setk(m.kf_kp_ur, kp_ur),
         kf_kp_depth=setk(m.kf_kp_depth, kp_depth),
         kf_obs_lm=setk(m.kf_obs_lm, obs_lm),
-        n_kf=jnp.where(ok, k + 1, k).astype(jnp.int32),
+        n_kf=jnp.where(ok & (k < K), k + 1, k).astype(jnp.int32),
     )
     m = update_covisibility(m, kk)
     # bump n_obs for landmarks observed by the new KF

@@ -121,6 +121,23 @@ _WORKER = textwrap.dedent("""
     s2, R2, t2 = run(problem)
     R_host = np.asarray(R2.addressable_data(0))   # replicated output
     assert R_host.shape == (12, 3, 3) and np.isfinite(R_host).all()
+
+    # landmark-sharded BA across the 2 processes, vs the single-device
+    # solve computed locally (SURVEY BASELINE N>=2-hosts row: the
+    # trajectory-axis parallel BA validated over a REAL process boundary)
+    from tests.test_optim import _ba_problem, CAM
+    from tests.test_sharded_ba import to_sharded
+    from slam_dynamic_tpu.optim.local_ba import bundle_adjust
+    from slam_dynamic_tpu.parallel import sharded_ba as sba
+    rngba = np.random.default_rng(0)
+    bap, Rs_gt, ts_gt, pts_gt = _ba_problem(rngba, K=5, L=64, stereo=True)
+    res1 = bundle_adjust(CAM, bap, stereo=True)
+    sp, Lp = to_sharded(bap, D, 512)
+    run_ba = sba.make_sharded_ba(mesh, CAM, K=5, L=Lp, O=512, stereo=True,
+                                 iters=15)
+    kf_R, kf_t, pts = run_ba(sp)
+    kt = np.asarray(kf_t.addressable_data(0))
+    np.testing.assert_allclose(kt, np.asarray(res1.kf_t), atol=5e-3)
     print(f"OK proc {pid} psum={out} devices={D}", flush=True)
 """)
 

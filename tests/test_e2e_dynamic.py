@@ -78,6 +78,46 @@ def test_box_tracker_iou_and_ghosts():
 
 
 @pytest.mark.slow
+def test_object_3d_state_tracks_between_keyframes():
+    """The confirmed-dynamic object's 3D state (depth + OBB) must update
+    EVERY tracked frame — not only at keyframes — and its world-frame
+    center must follow the ground-truth object path
+    (ref Tracking.cc:809-881 recomputes per frame with 20 m / 5 m gates
+    and weight-3 smoothing)."""
+    scfg = SynthConfig(**BASE, dynamic_object=True, obj_size=1.6,
+                       obj_depth=3.0, obj_speed=0.09)
+    seq = generate(scfg)
+    sys_ = make_system(scfg, detector="precomputed")
+    samples = []   # (frame index, world-frame object center estimate)
+    kf_frames = 0
+    for i in range(seq.gray.shape[0]):
+        det = seq.boxes[i][seq.box_valid[i]] if seq.box_valid[i, 0] else None
+        st = sys_.track_rgbd(seq.gray[i], seq.depth[i],
+                             float(seq.timestamps[i]), detections=det)
+        kf_frames += bool(st.is_keyframe)
+        for bid, s in sys_.object_states.items():
+            if abs(s["ts"] - float(seq.timestamps[i])) < 1e-6:
+                # camera -> world through the GT camera-to-world pose
+                samples.append((i, seq.R_wc[i] @ s["t"] + seq.t_wc[i]))
+    assert (sys_.boxes.status == 2).any()
+    # updates happened on many more frames than there were keyframes
+    assert len(samples) > kf_frames + 5, (len(samples), kf_frames)
+    # center follows the ground-truth object path (x moves at obj_speed)
+    err = []
+    for i, xw in samples:
+        gt = np.array([scfg.obj_x0 + scfg.obj_speed * i,
+                       scfg.obj_bob * np.sin(2 * np.pi * i / 50.0),
+                       scfg.obj_depth
+                       + 0.3 * np.sin(2 * np.pi * i / 80.0)], np.float32)
+        err.append(np.linalg.norm(xw - gt))
+    assert np.median(err) < 0.5, np.median(err)
+    i0, x0 = samples[0]
+    i1, x1 = samples[-1]
+    drift = (x1[0] - x0[0]) / max(i1 - i0, 1)
+    assert abs(drift - scfg.obj_speed) < 0.05, drift   # lateral velocity
+
+
+@pytest.mark.slow
 def test_stereo_dynamic_object():
     """Stereo sensor + moving object + box gating (the KITTI-style config:
     stereo driver with YOLO boxes, SURVEY BASELINE config 3)."""

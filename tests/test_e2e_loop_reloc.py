@@ -74,6 +74,57 @@ def test_relocalization_after_kidnap():
 
 
 @pytest.mark.slow
+def test_bow_fallback_recovers_jump_without_reloc():
+    """Motion-model + wide-radius search fail on a violent view jump, but
+    the BoW fallback (ungated descriptor match vs the reference keyframe)
+    recovers WITHOUT relocalization — the TrackReferenceKeyFrame analog
+    (ref Tracking.cc:1618-1660). Canary: with bow_fallback=False the same
+    jump goes LOST."""
+    scfg = orbit_cfg(100)          # ~3.7 deg yaw/frame
+    seq = generate(scfg)
+
+    def run(fallback: bool):
+        sys_ = dense_kf(make_system(scfg))
+        sys_.cfg = sys_.cfg.replace(tracking=dataclasses.replace(
+            sys_.cfg.tracking, bow_fallback=fallback))
+        sys_.tracker.cfg = sys_.cfg
+        calls = []
+        sys_.tracker.relocalizer = \
+            lambda f: (calls.append(1), (False, None, None, None))[1]
+        for i in range(14):
+            st = sys_.track_rgbd(seq.gray[i], seq.depth[i],
+                                 float(seq.timestamps[i]))
+        assert st.state == "OK"
+        # teleport 4 frames ahead: ~15 deg yaw = ~68 px projection shift,
+        # beyond the 2x-radius wide fallback (30 px) but well inside the
+        # reference keyframe's view
+        st = sys_.track_rgbd(seq.gray[18], seq.depth[18],
+                             float(seq.timestamps[18]))
+        return sys_, st, calls
+
+    sys_, st, calls = run(fallback=True)
+    assert st.state == "OK", st
+    assert not calls                       # reloc was never consulted
+    ts, R, t = sys_.trajectory[-1]
+    center = -np.asarray(R).T @ np.asarray(t)
+    center_w = seq.R_wc[0] @ center + seq.t_wc[0]
+    # mono pose-opt vs ONE keyframe's landmarks: coarse but in the basin
+    assert np.linalg.norm(center_w - seq.t_wc[18]) < 0.15
+    # normal tracking resumes from the recovered pose and re-converges
+    for i in range(19, 23):
+        st = sys_.track_rgbd(seq.gray[i], seq.depth[i],
+                             float(seq.timestamps[i]))
+        assert st.state == "OK", (i, st)
+    ts, R, t = sys_.trajectory[-1]
+    center_w = seq.R_wc[0] @ (-np.asarray(R).T @ np.asarray(t)) \
+        + seq.t_wc[0]
+    assert np.linalg.norm(center_w - seq.t_wc[22]) < 0.12
+    # canary validity: without the fallback this jump is LOST
+    _, st2, _ = run(fallback=False)
+    assert st2.state == "LOST", st2
+
+
+@pytest.mark.slow
 def test_relocalization_after_kidnap_planar_wall():
     """Kidnap facing a PLANAR scene: the camera starts near the back wall
     so every landmark lies on one plane — the 6-point-DLT degeneracy the

@@ -1,0 +1,116 @@
+"""KITTI-scale endurance run: thousands of frames, loops, bounded map.
+
+The reference's longest benchmark sequences (KITTI 00: 4.5k stereo
+frames, ORB-SLAM2 keeps >1k keyframes) exercise lifetime behavior that
+short tests cannot: keyframe-capacity recycling (state.next_kf_slot),
+repeated loop closures on the same graph executable, memory flatness,
+and fps drift. This driver runs the orbit world for N frames (multiple
+revolutions -> repeated loop closures), logging fps / RSS / map
+occupancy per window and a final ATE.
+
+Usage:
+    python tools/endurance.py --frames 2000 --cpu
+    python tools/endurance.py --frames 2000            # real TPU
+"""
+import argparse
+import dataclasses
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=2000)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--height", type=int, default=240)
+    ap.add_argument("--max-kf", type=int, default=64)
+    ap.add_argument("--window", type=int, default=200,
+                    help="frames per stats window")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from slam_dynamic_tpu.config import (SystemConfig, CameraConfig,
+                                         ORBConfig, CapacityConfig)
+    from slam_dynamic_tpu.io.evo import ate_rmse
+    from slam_dynamic_tpu.io.synthetic import SynthConfig, generate
+    from slam_dynamic_tpu.system import System
+
+    # several revolutions over one scene: repeated revisits + closures
+    turns = max(2.2, args.frames / 900.0)
+    scfg = SynthConfig(n_frames=args.frames, width=args.width,
+                       height=args.height, fx=260.0, fy=260.0,
+                       cx=args.width / 2 - 0.5, cy=args.height / 2 - 0.5,
+                       trajectory="orbit", orbit_turns=turns)
+    t0 = time.time()
+    seq = generate(scfg)
+    print(f"[endurance] generated {args.frames} frames "
+          f"({time.time() - t0:.0f}s), {turns:.1f} revolutions",
+          file=sys.stderr)
+
+    cfg = SystemConfig(
+        camera=CameraConfig(fx=scfg.fx, fy=scfg.fy, cx=scfg.cx, cy=scfg.cy,
+                            bf=scfg.fx * scfg.baseline, width=scfg.width,
+                            height=scfg.height, th_depth=120.0,
+                            fps=scfg.fps),
+        orb=ORBConfig(n_features=600),
+        capacity=CapacityConfig(max_keyframes=args.max_kf,
+                                max_landmarks=16384, max_keypoints=1024,
+                                local_ba_keyframes=8,
+                                local_ba_landmarks=2048),
+        sensor="rgbd")
+    cfg = cfg.replace(tracking=dataclasses.replace(
+        cfg.tracking, max_frames_between_kf=8))
+    sys_ = System(cfg)
+
+    gray8 = np.clip(seq.gray, 0, 255).astype(np.uint8)
+    d16 = np.clip(seq.depth * 1000.0, 0, 65535).astype(np.uint16)
+    windows = []
+    lost = loops = 0
+    tw = time.time()
+    for i in range(args.frames):
+        st = sys_.track_rgbd(gray8[i], d16[i], float(seq.timestamps[i]))
+        lost += st.state == "LOST"
+        ll = getattr(sys_, "last_loop", None)
+        if ll and ll.closed:
+            loops += 1
+            sys_.last_loop = None
+        if (i + 1) % args.window == 0:
+            dt = time.time() - tw
+            tw = time.time()
+            t = sys_.tracker
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+            w = dict(frame=i + 1, fps=round(args.window / dt, 2),
+                     rss_mb=rss, kf_seq=t.kf_seq,
+                     kf_live=int(np.asarray(t.map.kf_valid).sum()),
+                     lm_live=int(np.asarray(t.map.lm_valid).sum()),
+                     loops=loops, lost=lost)
+            windows.append(w)
+            print(f"[endurance] {json.dumps(w)}", file=sys.stderr)
+
+    est = np.stack([-R.T @ t for _, R, t in sys_.trajectory])
+    gt = seq.t_wc[:len(est)]
+    ate = ate_rmse(est, gt)
+    fps_all = [w["fps"] for w in windows]
+    out = dict(frames=args.frames, ate_m=round(float(ate), 4),
+               kf_seq=sys_.tracker.kf_seq,
+               kf_capacity=args.max_kf, loops=loops, lost=lost,
+               fps_first=fps_all[0], fps_last=fps_all[-1],
+               fps_drift=round(fps_all[-1] / max(fps_all[0], 1e-9), 3),
+               rss_first_mb=windows[0]["rss_mb"],
+               rss_last_mb=windows[-1]["rss_mb"])
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
