@@ -51,6 +51,10 @@ def make_dataset(args, cfg):
     if args.dataset == "euroc":
         return EurocDataset(args.path, stereo=(args.sensor == "stereo"),
                             yaml_path=args.yaml or None)
+    if args.dataset == "rosbag":
+        from .rosbag import RosbagRGBD
+        return RosbagRGBD(args.path, rgb_topic=args.rgb_topic,
+                          depth_topic=args.depth_topic)
     from .synthetic import SynthConfig, generate
     s = SynthConfig(n_frames=args.frames,
                     dynamic_object=args.dynamic,
@@ -78,7 +82,8 @@ def _write_synth_groundtruth(path: str, seq):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset",
-                    choices=["synthetic", "tum", "kitti", "euroc"],
+                    choices=["synthetic", "tum", "kitti", "euroc",
+                             "rosbag"],
                     default="synthetic")
     ap.add_argument("--path", default="")
     ap.add_argument("--yaml", default="")
@@ -87,6 +92,11 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--dynamic", action="store_true")
     ap.add_argument("--trajectory", default="sweep")
+    ap.add_argument("--rgb-topic", default="/camera/rgb/image_raw",
+                    help="rosbag: gray/rgb image topic (ref ros_rgbd.cc)")
+    ap.add_argument("--depth-topic",
+                    default="/camera/depth_registered/image_raw",
+                    help="rosbag: registered depth topic")
     ap.add_argument("--boxes", default=None, help="precomputed boxes dir")
     ap.add_argument("--masks", default=None, help="precomputed masks dir")
     ap.add_argument("--out", default="/tmp/slam_run")

@@ -80,8 +80,11 @@ def _kmedians(desc, k, rs, iters=8):
     centers = [desc[rs.randint(n)]]
     for _ in range(k - 1):
         d = _hamming_np(desc, np.stack(centers)).min(1).astype(np.float64)
-        p = d / max(d.sum(), 1e-9)
-        centers.append(desc[rs.choice(n, p=p)])
+        s = d.sum()
+        if s <= 0:        # all members equal the centers (duplicate-heavy
+            centers.append(desc[rs.randint(n)])   # deep node): uniform
+            continue
+        centers.append(desc[rs.choice(n, p=d / s)])
     C = np.stack(centers)
     for _ in range(iters):
         assign = _hamming_np(desc, C).argmin(1)
@@ -148,11 +151,17 @@ def train(descriptors: np.ndarray, k: int = 10, levels: int = 4,
 def default_vocab_path():
     """Path of the shipped pretrained vocabulary asset (trained offline by
     tools/train_vocab.py on the synthetic multi-trajectory corpus — the
-    analog of the reference's bundled ORBvoc.txt), or None if absent."""
+    analog of the reference's bundled ORBvoc.txt), or None if absent.
+    Prefers the 10^5-word tree (k=10, levels=5); the 10^4 tree remains as
+    a smaller fallback. A reference ORBvoc.txt (10^6 words) drops in via
+    `load_orbvoc_text` + `save` + cfg.vocabulary.path."""
     import os
-    p = os.path.join(os.path.dirname(__file__), "..", "assets",
-                     "vocab_synth.npz")
-    return p if os.path.exists(p) else None
+    base = os.path.join(os.path.dirname(__file__), "..", "assets")
+    for name in ("vocab_synth_100k.npz", "vocab_synth.npz"):
+        p = os.path.join(base, name)
+        if os.path.exists(p):
+            return p
+    return None
 
 
 def load_orbvoc_text(path: str) -> Vocabulary:
