@@ -113,6 +113,10 @@ def main(argv=None):
     ap.add_argument("--log-frames", action="store_true",
                     help="write per-frame metrics (state, inliers, ms) to "
                          "<out>/frames.jsonl")
+    ap.add_argument("--realtime", action="store_true",
+                    help="pace frames to the dataset timestamps (the "
+                         "reference drivers' usleep pacing, "
+                         "Examples/Stereo/stereo_kitti.cc:147-154)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -138,10 +142,19 @@ def main(argv=None):
         if args.log_frames else None
     times = []
     n_lost = 0
+    prev_ts = None
     for i, pkt in enumerate(data):
         if i < args.skip:
             continue
         t0 = time.time()
+        if args.realtime and prev_ts is not None and times:
+            # sleep off the remainder of the inter-frame interval (the
+            # reference pacing: track, then usleep(T - ttrack))
+            budget = pkt.timestamp - prev_ts
+            spare = budget - times[-1]
+            if 0 < spare < 5.0:
+                time.sleep(spare)
+        prev_ts = pkt.timestamp
         if args.sensor == "rgbd":
             st = sys_.track_rgbd(pkt.gray, pkt.depth, pkt.timestamp,
                                  detections=pkt.detections, mask=pkt.mask)

@@ -418,3 +418,72 @@ def l1_score(hist_a, hist_b):
     """DBoW2 L1 similarity in [0,1]: 1 - 0.5*|a/|a| - b/|b||_1
     (ScoringObject.h L1Norm)."""
     return 1.0 - 0.5 * jnp.sum(jnp.abs(hist_a - hist_b), axis=-1)
+
+
+# ----------------------------------------------------------------------------
+# DBoW2 scoring family on sparse vectors
+# (ScoringObject.cpp: L1, L2, ChiSquare, KL, Bhattacharyya, DotProduct —
+# ORB-SLAM2 uses L1; the rest complete the vendored-library surface)
+# ----------------------------------------------------------------------------
+
+def _sparse_gather(q: SparseBow, w: SparseBow):
+    """(q_i, w_i) aligned on w's support via binary search of q."""
+    Wq = q.word.shape[0]
+    pos = jnp.clip(jnp.searchsorted(q.word, w.word), 0, Wq - 1)
+    hit = (q.word[pos] == w.word) & (w.word < PAD_WORD)
+    return jnp.where(hit, q.weight[pos], 0.0), w.weight, hit
+
+
+@jax.jit
+def score_l1(q: SparseBow, w: SparseBow):
+    """1 - 0.5|q - w|_1 == sum_i min(q_i, w_i) for L1-normalized inputs."""
+    qv, wv, hit = _sparse_gather(q, w)
+    return jnp.sum(jnp.where(hit, jnp.minimum(qv, wv), 0.0))
+
+
+@jax.jit
+def score_l2(q: SparseBow, w: SparseBow):
+    """1 - 0.5|q/|q|_2 - w/|w|_2|_2 expanded: needs only the dot product
+    over the intersection (ScoringObject.cpp L2Scoring)."""
+    nq = jnp.sqrt(jnp.maximum(jnp.sum(q.weight ** 2), 1e-18))
+    nw = jnp.sqrt(jnp.maximum(jnp.sum(w.weight ** 2), 1e-18))
+    qv, wv, hit = _sparse_gather(q, w)
+    dot = jnp.sum(jnp.where(hit, qv * wv, 0.0)) / (nq * nw)
+    return 1.0 - jnp.sqrt(jnp.maximum(1.0 - dot, 0.0))
+
+
+@jax.jit
+def score_chi_square(q: SparseBow, w: SparseBow):
+    """sum_i 2 q_i w_i / (q_i + w_i) (the intersection-only form DBoW2
+    accumulates; zero terms vanish)."""
+    qv, wv, hit = _sparse_gather(q, w)
+    return jnp.sum(jnp.where(hit, 2.0 * qv * wv
+                             / jnp.maximum(qv + wv, 1e-18), 0.0))
+
+
+@jax.jit
+def score_bhattacharyya(q: SparseBow, w: SparseBow):
+    qv, wv, hit = _sparse_gather(q, w)
+    return jnp.sum(jnp.where(hit, jnp.sqrt(qv * wv), 0.0))
+
+
+@jax.jit
+def score_dot(q: SparseBow, w: SparseBow):
+    qv, wv, hit = _sparse_gather(q, w)
+    return jnp.sum(jnp.where(hit, qv * wv, 0.0))
+
+
+@jax.jit
+def score_kl(q: SparseBow, w: SparseBow):
+    """KL(q || w) with DBoW2's LOG_EPS floor for words of q missing from
+    w (ScoringObject.cpp KLScoring; lower = more similar)."""
+    LOG_EPS = jnp.log(jnp.float32(2.2204460492503131e-16))
+    Ww = w.word.shape[0]
+    pos = jnp.clip(jnp.searchsorted(w.word, q.word), 0, Ww - 1)
+    hit = (w.word[pos] == q.word) & (q.word < PAD_WORD)
+    real = q.word < PAD_WORD
+    wv = jnp.where(hit, w.weight[pos], 0.0)
+    lq = jnp.log(jnp.maximum(q.weight, 1e-18))
+    term = jnp.where(hit, lq - jnp.log(jnp.maximum(wv, 1e-18)),
+                     lq - LOG_EPS)
+    return jnp.sum(jnp.where(real & (q.weight > 0), q.weight * term, 0.0))

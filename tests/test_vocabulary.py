@@ -177,6 +177,39 @@ def test_ransac_pnp_coplanar(rng):
     assert t_err < 0.15, t_err
 
 
+def test_scoring_family_matches_dense(rng):
+    """The DBoW2 scoring family (ScoringObject.cpp: L1/L2/chi2/KL/
+    Bhattacharyya/dot) computed on SparseBow must match dense-histogram
+    formulas."""
+    v = voc.train(rand_desc(rng, 2500), k=4, levels=3, seed=6)  # 64 words
+    n = v.n_words
+    ones = jnp.ones(120, bool)
+    ba = voc.transform(v, jnp.asarray(rand_desc(rng, 120)), ones)
+    bb = voc.transform(v, jnp.asarray(rand_desc(rng, 120)), ones)
+    qa, qb = voc.sparse_bow(ba, 128), voc.sparse_bow(bb, 128)
+    ha = np.asarray(voc.bow_histogram(ba, n))
+    hb = np.asarray(voc.bow_histogram(bb, n))
+    assert abs(float(voc.score_l1(qa, qb))
+               - (1 - 0.5 * np.abs(ha - hb).sum())) < 1e-5
+    na, nb = np.linalg.norm(ha), np.linalg.norm(hb)
+    l2 = 1 - np.sqrt(max(1 - float(ha @ hb) / (na * nb), 0))
+    assert abs(float(voc.score_l2(qa, qb)) - l2) < 1e-5
+    chi = float(np.sum(np.where(ha + hb > 0, 2 * ha * hb /
+                                np.maximum(ha + hb, 1e-18), 0)))
+    assert abs(float(voc.score_chi_square(qa, qb)) - chi) < 1e-5
+    assert abs(float(voc.score_bhattacharyya(qa, qb))
+               - float(np.sqrt(ha * hb).sum())) < 1e-5
+    assert abs(float(voc.score_dot(qa, qb)) - float(ha @ hb)) < 1e-6
+    eps = 2.2204460492503131e-16
+    sel = ha > 0
+    kl = float(np.sum(ha[sel] * (np.log(ha[sel]) - np.log(
+        np.where(hb[sel] > 0, hb[sel], eps)))))
+    assert abs(float(voc.score_kl(qa, qb)) - kl) < 1e-4
+    # self-similarity extremes
+    assert float(voc.score_l1(qa, qa)) > 0.999
+    assert float(voc.score_kl(qa, qa)) < 1e-5
+
+
 def test_orbvoc_text_roundtrip(rng, tmp_path):
     """save_orbvoc_text -> load_orbvoc_text preserves transform exactly
     (word assignment + idf weights) — the DBoW2 ORBvoc.txt format,
