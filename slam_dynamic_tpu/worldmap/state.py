@@ -196,6 +196,12 @@ def insert_keyframe(m: MapState, R, t, frame_id, timestamp, kp_xy, kp_level,
         n_kf=jnp.where(ok & (k < K), k + 1, k).astype(jnp.int32),
     )
     m = update_covisibility(m, kk)
+    # a RECYCLED slot (insert while full) invalidates persistent loop
+    # edges that referenced its old tenant — replaying them would
+    # constrain two unrelated cameras in the next essential-graph run
+    reused = ok & (k >= K)
+    stale = reused & ((m.loop_i == kk) | (m.loop_j == kk))
+    m = m._replace(loop_valid=m.loop_valid & ~stale)
     # bump n_obs for landmarks observed by the new KF
     L = m.lm_pos.shape[0]
     obs = jnp.where((obs_lm >= 0) & kp_valid, obs_lm, L)

@@ -62,6 +62,26 @@ def test_slot_reuse_after_cull():
     assert not bool(ok)
 
 
+def test_slot_reuse_invalidates_stale_loop_edges():
+    """A persistent loop edge referencing a recycled slot must be
+    invalidated — replaying it would constrain two unrelated cameras."""
+    from slam_dynamic_tpu.worldmap.state import add_loop_edge
+    cap = CapacityConfig(max_keyframes=4, max_landmarks=64,
+                         max_keypoints=16)
+    m = empty_map(cap)
+    for k in range(4):
+        m = _insert(m, k)
+    m = add_loop_edge(m, 3, 1, 1.0, jnp.eye(3), jnp.zeros(3))
+    m = add_loop_edge(m, 3, 0, 1.0, jnp.eye(3), jnp.zeros(3))
+    assert int(m.n_loop) == 2 and bool(m.loop_valid[0])
+    # cull slot 1 -> recycle it: edge (3,1) dies, edge (3,0) survives
+    m = m._replace(kf_valid=m.kf_valid.at[1].set(False))
+    m = _insert(m, 9)
+    assert int(m.kf_frame_id[1]) == 9
+    assert not bool(m.loop_valid[0])
+    assert bool(m.loop_valid[1])
+
+
 @pytest.mark.slow
 def test_endurance_tracking_at_kf_capacity():
     """Sequence long enough (with a forced dense KF cadence) that the
