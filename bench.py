@@ -256,8 +256,12 @@ def main():
     if args.chunk is None:
         # no-args default: temporal chunking at C=6 — the measured-best
         # single-sequence mode through the axon tunnel (RESULTS.md:
-        # 36.9 fps vs 24.6 at C=4 and 34.9 at C=8; ATE 22.7 mm)
-        args.chunk = 0 if args.multi else 6
+        # 36.9 fps vs 24.6 at C=4 and 34.9 at C=8; ATE 22.7 mm).
+        # DYNAMIC scenes default to the per-frame pipeline: the fused
+        # H/F classification is device-compute-bound (chunking can't
+        # amortize it) and the one-chunk verdict lag costs ATE
+        # (measured: 9.9-12.3 fps chunked vs 14.4-18 per-frame)
+        args.chunk = 0 if (args.multi or args.dynamic) else 6
     if args.multi and args.multi > 1:
         return _run_multi(args, scfg, seq, gray8, aux8, cfg, _log,
                           cpu_fallback)

@@ -111,11 +111,51 @@ def cull_keyframes(m: MapState, center_kf, redundancy: float = 0.9,
     cand = (m.kf_valid & (m.covis[center_kf] > 0)
             & (jnp.arange(K) != center_kf) & (jnp.arange(K) != 0))
     kill = cand & (ratio > redundancy) & (total > 50)
+    return _kill_keyframes(m, kill)
+
+
+def _kill_keyframes(m: MapState, kill) -> MapState:
+    """Flip kf_valid off for `kill` [K] and clear their bookkeeping:
+    observations, landmark n_obs, covisibility rows/cols."""
+    L = m.lm_pos.shape[0]
     kf_valid = m.kf_valid & ~kill
-    # clear observations of killed KFs + refresh n_obs
     all_obs = jnp.where(kill[:, None], -1, m.kf_obs_lm)
     flat = jnp.where((all_obs >= 0) & m.kf_kp_valid, all_obs, L).reshape(-1)
     n_obs = jnp.zeros(L + 1, jnp.int32).at[flat].add(1)[:L]
     covis = jnp.where(kill[:, None] | kill[None, :], 0, m.covis)
     return m._replace(kf_valid=kf_valid, kf_obs_lm=all_obs, lm_n_obs=n_obs,
                       covis=covis)
+
+
+@jax.jit
+def evict_if_full(m: MapState, center_kf) -> MapState:
+    """Forced eviction when the keyframe store is FULL with nothing
+    redundancy-culled: drop the keyframe LEAST COVISIBLE with the current
+    one (ties -> oldest frame id), so the bounded-memory map slides with
+    the camera instead of freezing — without this, a sequence longer than
+    the capacity stops inserting, the local map ages out from under the
+    tracker, and tracking is permanently LOST (measured on the 2000-frame
+    endurance run). The reference never faces this (unbounded heap,
+    KeyFrameCulling only); this is the fixed-capacity analog of a
+    sliding-window keyframe budget. Landmarks orphaned by the eviction
+    (no remaining observers) free their slots. Slot 0 (the gauge anchor)
+    and the current keyframe are immune."""
+    K = m.kf_valid.shape[0]
+    full = jnp.all(m.kf_valid | (jnp.arange(K) >= m.n_kf)) \
+        & (m.n_kf >= K)
+    protect = (jnp.arange(K) == 0) | (jnp.arange(K) == center_kf) \
+        | ~m.kf_valid
+    # value = covisibility with the current KF, then recency
+    fid = m.kf_frame_id.astype(jnp.float32)
+    score = m.covis[center_kf].astype(jnp.float32) * 1e9 + fid
+    score = jnp.where(protect, jnp.inf, score)
+    victim = jnp.argmin(score)
+    kill = jnp.zeros(K, bool).at[victim].set(full)
+    m = _kill_keyframes(m, kill)
+    # reclaim orphaned landmarks (MapPoint::SetBadFlag analog when the
+    # last observer dies)
+    lm_valid = m.lm_valid & jnp.where(full, m.lm_n_obs > 0, True)
+    # stale loop edges touching the victim die with it
+    stale = full & ((m.loop_i == victim) | (m.loop_j == victim))
+    return m._replace(lm_valid=lm_valid,
+                      loop_valid=m.loop_valid & ~stale)

@@ -91,6 +91,13 @@ class TrackingConfig:
     ref_frame_age_s: float = 0.2           # ref :623
     frame_queue_factor: float = 0.3        # queue cap 0.3*fps, ref :954
     dyn_confirm_frames: int = 2            # 2 consecutive dyn frames, ref :1213
+    max_lost_frames: int = 90              # consecutive LOST frames before
+    # the map is reinitialized from scratch (trajectory preserved as
+    # absolute poses; 0 = never). Relocalization can only rescue a loss
+    # within the RETAINED map — after keyframe eviction at capacity, or
+    # in genuinely new terrain, a prolonged loss would otherwise deadlock
+    # (no reloc target AND no new keyframes while LOST; measured on the
+    # 2000-frame endurance run)
     bow_fallback: bool = True              # on track failure, descriptor-
     # match vs the reference keyframe (no projection gate) and re-optimize
     # BEFORE declaring LOST — the TrackReferenceKeyFrame analog (ref

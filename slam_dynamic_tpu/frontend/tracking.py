@@ -772,6 +772,7 @@ class Tracker:
                 frame.R, frame.t = R, t
                 frame.obs_lm = obs
                 self.velocity = None
+                self._lost_streak = 0
                 # resume as if motion-model frame: refine on local map
                 self.last_frame = frame
                 self.state = "OK"
@@ -787,20 +788,38 @@ class Tracker:
         if self.n_kf_host <= 5 and n_feat >= 50 and not self.localization_only:
             self.reset()
             return TrackStats("NOT_INITIALIZED")
+        # prolonged loss beyond relocalization's reach (the loss region's
+        # keyframes evicted at capacity, or genuinely new terrain):
+        # reinitialize a FRESH map so the system stays alive — trajectory
+        # up to the break is preserved as absolute poses; the new segment
+        # starts a new gauge (a practical-SLAM map-reset policy the
+        # unbounded-memory reference never needs)
+        self._lost_streak = getattr(self, "_lost_streak", 0) + 1
+        max_lost = self.cfg.tracking.max_lost_frames
+        if max_lost > 0 and self._lost_streak >= max_lost \
+                and n_feat >= 50 and not self.localization_only:
+            self.reset()          # trajectory preserved as absolute poses
+            return TrackStats("NOT_INITIALIZED")
         frame.R, frame.t = None, None
         frame.obs_lm = jnp.full(frame.data.xy.shape[0], -1, jnp.int32)
         return TrackStats("LOST")
 
-    def reset(self):
-        """Clear map and state (ref Tracking::Reset :2375)."""
+    def reset(self, preserve_trajectory: bool = True):
+        """Clear map and state (ref Tracking::Reset :2375).
+
+        Pre-reset relative poses reference keyframes that will no longer
+        exist, so they are MATERIALIZED to absolute poses and kept (the
+        reference clears mlRelativeFramePoses and loses them; keeping the
+        already-tracked segment is strictly better for trajectory
+        export). The post-reset segment starts a new gauge."""
+        kept = []
+        if preserve_trajectory and self.trajectory:
+            kept = [(ts, -1, R, t) for ts, R, t in self.trajectory_poses()]
         self.map = empty_map(self.cfg.capacity)
         self.state = "NOT_INITIALIZED"
         self.last_frame = None
         self.velocity = None
-        # pre-reset relative poses reference keyframes that no longer
-        # exist (slots are reused) — exporting them would compose garbage
-        # (ref Tracking::Reset clears mlRelativeFramePoses the same way)
-        self.trajectory = []
+        self.trajectory = kept
         self._traj_by_slot = {}
         self.last_kf_id = -1
         self.frames_since_kf = 0
@@ -811,6 +830,7 @@ class Tracker:
         self._prev2_pose = None
         self.n_kf_host = 0
         self.kf_seq = 0
+        self._lost_streak = 0
         self._pending.clear()
         self._prefetch.clear()
 
@@ -919,6 +939,7 @@ class Tracker:
         frame.obs_lm = out.obs_lm
         self.state = "OK"
         self.frames_since_kf += 1
+        self._lost_streak = 0
 
         st = TrackStats("OK", n_inliers_mm=n_mm, n_inliers_map=n_map,
                         frame_id=frame.frame_id, np_R=np_R, np_t=np_t)
@@ -976,7 +997,17 @@ class Tracker:
             # only at capacity. No culled slot -> graceful no-insert.
             probe = np.asarray(_slot_probe(self.map))
             if probe[1] == 0:
-                return
+                # full with NOTHING redundancy-culled: force-evict the
+                # keyframe least covisible with the current one so the
+                # bounded map keeps sliding with the camera (without
+                # this, tracking eventually ages out of the frozen local
+                # map and goes permanently LOST — measured at 2000
+                # frames). backend/fusion.evict_if_full.
+                from ..backend.fusion import evict_if_full
+                self.map = evict_if_full(self.map, self._ref_kf_const())
+                probe = np.asarray(_slot_probe(self.map))
+                if probe[1] == 0:       # only possible at K <= 2
+                    return
             k = int(probe[0])
             # trajectory entries relative to the old tenant become
             # absolute NOW — afterwards slot k holds an unrelated camera

@@ -82,6 +82,68 @@ def test_slot_reuse_invalidates_stale_loop_edges():
     assert bool(m.loop_valid[1])
 
 
+def test_forced_eviction_when_full():
+    """Full store + nothing redundancy-culled -> evict_if_full drops the
+    least-covisible-with-current keyframe (slot 0 and the current KF are
+    immune); a non-full map is untouched."""
+    import jax.numpy as jnp
+    from slam_dynamic_tpu.backend.fusion import evict_if_full
+    cap = CapacityConfig(max_keyframes=4, max_landmarks=64,
+                         max_keypoints=16)
+    m = empty_map(cap)
+    for k in range(3):
+        m = _insert(m, k)
+    # non-full: no-op
+    m2 = evict_if_full(m, jnp.int32(2))
+    np.testing.assert_array_equal(np.asarray(m2.kf_valid),
+                                  np.asarray(m.kf_valid))
+    m = _insert(m, 3)
+    covis = np.zeros((4, 4), np.int32)
+    covis[3, 1] = covis[1, 3] = 5     # slot 1 weakly tied to current
+    covis[3, 2] = covis[2, 3] = 80
+    m = m._replace(covis=jnp.asarray(covis))
+    m = evict_if_full(m, jnp.int32(3))
+    v = np.asarray(m.kf_valid)
+    assert not v[1] and v[0] and v[2] and v[3]
+    slot, ok = next_kf_slot(m)
+    assert bool(ok) and int(slot) == 1
+
+
+@pytest.mark.slow
+def test_reinit_after_prolonged_loss_preserves_trajectory():
+    """A loss that relocalization cannot rescue (kidnap into NEVER-mapped
+    terrain) must not deadlock: after max_lost_frames the tracker
+    reinitializes a fresh map; the pre-break trajectory survives as
+    absolute poses and tracking resumes."""
+    scfg = SynthConfig(n_frames=40, width=320, height=240, fx=260.0,
+                       fy=260.0, cx=159.5, cy=119.5)
+    seq = generate(scfg)
+    # a second world the first map never saw (kidnap target)
+    scfg2 = dataclasses.replace(scfg, seed=7, z_start=5.8, advance=0.01,
+                                sway=0.1, texture_cells=4.0)
+    seq2 = generate(scfg2)
+    sys_ = make_system(scfg)
+    tr = dataclasses.replace(sys_.cfg.tracking, max_lost_frames=6)
+    sys_.cfg = sys_.cfg.replace(tracking=tr)
+    sys_.tracker.cfg = sys_.cfg
+    for i in range(15):
+        st = sys_.track_rgbd(seq.gray[i], seq.depth[i],
+                             float(seq.timestamps[i]))
+    assert st.state == "OK"
+    n_before = len(sys_.tracker.trajectory)
+    # kidnap into the unseen world: reloc has no target
+    states = []
+    for j in range(12):
+        st = sys_.track_rgbd(seq2.gray[j], seq2.depth[j], 5.0 + j * 0.033)
+        states.append(st.state)
+    assert "NOT_INITIALIZED" in states          # the reset fired
+    assert states[-1] == "OK", states           # and tracking resumed
+    traj = sys_.trajectory
+    assert len(traj) >= n_before                # pre-break poses survived
+    ts = [t for t, _, _ in traj]
+    assert ts == sorted(ts)
+
+
 @pytest.mark.slow
 def test_endurance_tracking_at_kf_capacity():
     """Sequence long enough (with a forced dense KF cadence) that the

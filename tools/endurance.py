@@ -29,7 +29,11 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--height", type=int, default=240)
-    ap.add_argument("--max-kf", type=int, default=64)
+    ap.add_argument("--max-kf", type=int, default=256,
+                    help="keyframe capacity; must span the revisit "
+                         "period (~cadence*capacity frames) for loop "
+                         "closure — a smaller budget exercises the "
+                         "sliding-window eviction path instead")
     ap.add_argument("--window", type=int, default=200,
                     help="frames per stats window")
     args = ap.parse_args()
