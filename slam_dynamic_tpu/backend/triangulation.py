@@ -7,7 +7,7 @@ covisible neighbors, match unbound keypoints under the epipolar constraint
 (SearchForTriangulation, ORBmatcher.cc:814), triangulate by DLT, and keep
 points passing parallax / positive-depth / reprojection / scale-consistency
 checks. All pairs are processed as dense masked matrices; triangulation is
-one batched 4x4 SVD.
+one batched 4x4 nullspace solve (ops/nullspace.py — pure matmuls, no SVD).
 """
 from __future__ import annotations
 
@@ -38,18 +38,15 @@ def triangulate_dlt(cam: Intrinsics, R1, t1, R2, t2, uv1, uv2):
     P1 = cam.K @ jnp.concatenate([R1, t1[:, None]], axis=1)   # [3,4]
     P2 = cam.K @ jnp.concatenate([R2, t2[:, None]], axis=1)
 
-    def solve(u1, u2):
-        A = jnp.stack([
-            u1[0] * P1[2] - P1[0],
-            u1[1] * P1[2] - P1[1],
-            u2[0] * P2[2] - P2[0],
-            u2[1] * P2[2] - P2[1],
-        ])
-        _, _, vt = jnp.linalg.svd(A)
-        X = vt[-1]
-        return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
-
-    return jax.vmap(solve)(uv1, uv2)
+    from ..ops.nullspace import null_vector
+    A = jnp.stack([
+        uv1[:, 0, None] * P1[2] - P1[0],
+        uv1[:, 1, None] * P1[2] - P1[1],
+        uv2[:, 0, None] * P2[2] - P2[0],
+        uv2[:, 1, None] * P2[2] - P2[1],
+    ], axis=1)                                 # [N, 4, 4]
+    X = null_vector(A)                         # batched pure-matmul solve
+    return X[:, :3] / jnp.where(jnp.abs(X[:, 3:]) < 1e-12, 1e-12, X[:, 3:])
 
 
 class TriangulationOut(NamedTuple):

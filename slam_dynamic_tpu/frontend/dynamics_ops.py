@@ -38,8 +38,11 @@ class BoxVerdict(NamedTuple):
     n_bg_inliers: jnp.ndarray     # int32
 
 
-def _match(desc_a, valid_a, ang_a, desc_b, valid_b, ang_b, max_dist, ratio):
-    dist = hm.masked_hamming_matrix(desc_a, valid_a, desc_b, valid_b)
+def _match_from(dist_rc, mask_a, mask_b, ang_a, ang_b, max_dist, ratio):
+    """NN matching (a -> b) from a PRE-COMPUTED raw [A, B] Hamming matrix
+    — the background-pair and in-box matchers share ONE MXU matmul and
+    differ only in their masks."""
+    dist = jnp.where(mask_a[:, None] & mask_b[None, :], dist_rc, hm.INVALID)
     idx, d, ok = hm.match_nn(dist, max_dist=max_dist, ratio=ratio,
                              mutual=True)
     ok = hm.rotation_consistency(ang_a, ang_b, idx, ok)
@@ -54,10 +57,14 @@ def classify_boxes(cam: Intrinsics, ref: FrameData, cur: FrameData,
                    seed: int = 0) -> BoxVerdict:
     key = jax.random.PRNGKey(seed)
 
+    # ONE ref<->cur Hamming matrix serves both the background-pair matcher
+    # and the in-box matcher (they only differ in masks)
+    dist_rc = hm.hamming_matrix(ref.desc, cur.desc)          # [N, N]
+
     # 1. background pairs (static features of both frames)
-    idx, ok = _match(ref.desc, ref.valid & ref.static_mask,
-                     ref.angle, cur.desc, cur.valid & cur.static_mask,
-                     cur.angle, max_dist=64, ratio=0.8)
+    idx, ok = _match_from(dist_rc, ref.valid & ref.static_mask,
+                          cur.valid & cur.static_mask,
+                          ref.angle, cur.angle, max_dist=64, ratio=0.8)
     p1 = ref.xy
     p2 = cur.xy[jnp.clip(idx, 0, cur.xy.shape[0] - 1)]
 
@@ -87,9 +94,9 @@ def classify_boxes(cam: Intrinsics, ref: FrameData, cur: FrameData,
     any_box_cur = (in_box_cur & box_valid[:, None]).any(0)
     any_box_ref = (near_box_ref & box_valid[:, None]).any(0)
 
-    bidx, bok = _match(cur.desc, cur.valid & any_box_cur, cur.angle,
-                       ref.desc, ref.valid & any_box_ref, ref.angle,
-                       max_dist=64, ratio=0.9)
+    bidx, bok = _match_from(dist_rc.T, cur.valid & any_box_cur,
+                            ref.valid & any_box_ref,
+                            cur.angle, ref.angle, max_dist=64, ratio=0.9)
     q2 = cur.xy                                    # current position
     q1 = ref.xy[jnp.clip(bidx, 0, ref.xy.shape[0] - 1)]  # ref position
 

@@ -4,7 +4,8 @@ Fills the role of PnPsolver (EPnP + RANSAC, /root/reference/src/
 PnPsolver.cc, used by Tracking::Relocalization /root/reference/src/
 Tracking.cc:2282). TPU-native design: instead of EPnP's control-point
 Gauss-Newton inside a sequential RANSAC, sample all minimal sets at once,
-solve each by 6-point DLT for the projection matrix (one batched SVD),
+solve each by 6-point DLT for the projection matrix (one batched
+pure-matmul nullspace solve, ops/nullspace.py),
 decompose to (R, t) with cheirality fixing, score all hypotheses against
 all correspondences in one pass, then polish the winner with the standard
 LM pose optimizer (optim/pose_opt.py) — the polish supplies the accuracy
@@ -30,6 +31,7 @@ import jax.numpy as jnp
 
 from ..utils.camera import Intrinsics, project
 from ..utils.se3 import orthonormalize
+from .nullspace import null_vector, smallest_eigvec
 from .ransac import _sample_indices
 
 
@@ -54,8 +56,7 @@ def _dlt_pose(xw, uv_norm):
     r1 = jnp.concatenate([X, z, -u[:, None] * X], axis=1)   # [6,12]
     r2 = jnp.concatenate([z, X, -v[:, None] * X], axis=1)
     A = jnp.concatenate([r1, r2])                           # [12,12]
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    P = vt[-1].reshape(3, 4)
+    P = null_vector(A).reshape(3, 4)   # pure-matmul nullspace (no SVD)
     M = P[:, :3]
     # sign: points must be in front (positive depth for majority)
     depths = X @ P[2]
@@ -81,9 +82,16 @@ def _homography_pose(xw, uv_norm):
     n = xw.shape[0]
     c = jnp.mean(xw, axis=0)
     Xc = xw - c
-    _, _, vtp = jnp.linalg.svd(Xc, full_matrices=False)     # rows: e1,e2,n
-    e1, e2 = vtp[0], vtp[1]
-    e3 = jnp.cross(e1, e2)
+    # plane normal = least eigvec of the 3x3 scatter; the in-plane basis
+    # (e1, e2) only parametrizes the plane — any orthonormal pair works,
+    # so build one from the normal by Gram-Schmidt (no SVD needed)
+    e3 = smallest_eigvec(Xc.T @ Xc)
+    seed = jnp.where(jnp.abs(e3[0]) < 0.9,
+                     jnp.array([1.0, 0.0, 0.0], xw.dtype),
+                     jnp.array([0.0, 1.0, 0.0], xw.dtype))
+    e1 = seed - e3 * jnp.dot(seed, e3)
+    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-12)
+    e2 = jnp.cross(e3, e1)        # then cross(e1, e2) == e3 (right-handed)
     ab = jnp.stack([Xc @ e1, Xc @ e2], axis=1)              # [n, 2]
     A1 = jnp.concatenate([ab, jnp.ones((n, 1), xw.dtype)], axis=1)
     u = uv_norm[:, 0]
@@ -92,8 +100,7 @@ def _homography_pose(xw, uv_norm):
     rows = jnp.concatenate([
         jnp.concatenate([A1, z, -u[:, None] * A1], axis=1),
         jnp.concatenate([z, A1, -v[:, None] * A1], axis=1)])   # [2n, 9]
-    _, _, vt = jnp.linalg.svd(rows, full_matrices=True)
-    H = vt[-1].reshape(3, 3)
+    H = null_vector(rows).reshape(3, 3)
     s = jnp.sqrt(jnp.maximum(
         jnp.linalg.norm(H[:, 0]) * jnp.linalg.norm(H[:, 1]), 1e-12))
     H = H / s
