@@ -120,6 +120,11 @@ def main():
                          "DEFAULT 6 (measured best: 36.9 fps through the "
                          "axon tunnel vs 30 fps budget, RESULTS.md); pass "
                          "--chunk 1 for the per-frame pipeline")
+    ap.add_argument("--eager-finalize", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="chunked mode: finalize the previous chunk before "
+                         "dispatching the next (KF decisions lag C-j not "
+                         "2C-j frames; costs the readback/compute overlap)")
     ap.add_argument("--multi", type=int, default=0,
                     help="batched-serving mode: track N sequences as ONE "
                          "MultiSystem (single chip, one fused device call "
@@ -232,6 +237,9 @@ def main():
     if args.depth_stride > 1:
         cfg = cfg.replace(tracking=dataclasses.replace(
             cfg.tracking, depth_stride=args.depth_stride))
+    if not args.eager_finalize:
+        cfg = cfg.replace(tracking=dataclasses.replace(
+            cfg.tracking, chunk_eager_finalize=False))
     # warm up and time the SAME system: the first n_warm frames run with a
     # forced keyframe cadence so every jit unit (fused step, mapping stage,
     # loop-closer BoW) compiles before the timed window — first-compiles

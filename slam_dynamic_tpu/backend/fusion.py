@@ -145,11 +145,14 @@ def evict_if_full(m: MapState, center_kf) -> MapState:
         & (m.n_kf >= K)
     protect = (jnp.arange(K) == 0) | (jnp.arange(K) == center_kf) \
         | ~m.kf_valid
-    # value = covisibility with the current KF, then recency
-    fid = m.kf_frame_id.astype(jnp.float32)
-    score = m.covis[center_kf].astype(jnp.float32) * 1e9 + fid
-    score = jnp.where(protect, jnp.inf, score)
-    victim = jnp.argmin(score)
+    # value = covisibility with the current KF, then recency — a
+    # lexicographic two-key argmin in INTEGER space (a float32 combined
+    # score loses the frame-id tie-break to ulp rounding)
+    imax = jnp.int32(2 ** 31 - 1)
+    c = jnp.where(protect, imax, m.covis[center_kf])
+    cmin = jnp.min(c)
+    f = jnp.where(protect | (c != cmin), imax, m.kf_frame_id)
+    victim = jnp.argmin(f)
     kill = jnp.zeros(K, bool).at[victim].set(full)
     m = _kill_keyframes(m, kill)
     # reclaim orphaned landmarks (MapPoint::SetBadFlag analog when the

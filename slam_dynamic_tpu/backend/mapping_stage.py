@@ -37,7 +37,10 @@ def insert_keyframe_stage(m: MapState, cam: Intrinsics, fd: FrameData,
     """Insert KF + full mapping pass. Returns (map, k) with k the new
     keyframe slot (device scalar; the host mirrors the append counter and
     only reads k back at capacity, when a culled slot was recycled;
-    k = -1 means full with nothing culled — the whole stage no-ops)."""
+    k = -1 means full with nothing culled — the whole stage no-ops,
+    including the downstream cull/fuse/BA: the final map is selected
+    against the entry snapshot so a -1 insert cannot mutate anything)."""
+    m_in = m
     m, k_slot = make_keyframe(m, cam, fd, R, t, frame_id, timestamp,
                               obs_lm, depth_th, scale_factor,
                               n_levels=n_levels)
@@ -62,4 +65,10 @@ def insert_keyframe_stage(m: MapState, cam: Intrinsics, fd: FrameData,
         m = cull_keyframes(m, k, redundancy=redundancy)
     if do_refresh:
         m = refresh_landmark_descriptors(m)
+    # contract: k_slot == -1 -> the WHOLE stage is a no-op (the host-side
+    # guard makes this unreachable from Tracker, but direct callers —
+    # tests, future call sites — get the documented behavior)
+    ok = k_slot >= 0
+    m = jax.tree_util.tree_map(lambda new, old: jnp.where(ok, new, old),
+                               m, m_in)
     return m, k

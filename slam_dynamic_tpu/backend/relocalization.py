@@ -58,11 +58,27 @@ def _widen_matches(m: MapState, cam, k, R, t, fd, cur_lm, radius_px):
 
 
 @jax.jit
-def _match_frame_kf(frame_desc, frame_valid, kf_desc, kf_valid, kf_obs):
+def _match_frame_kf(frame_desc, frame_valid, kf_desc, kf_valid, kf_obs,
+                    frame_node=None, kf_node=None):
     """Descriptor match frame->KF restricted to keypoints WITH landmarks.
-    Returns per-frame-slot landmark id (-1 unmatched)."""
+    Returns per-frame-slot landmark id (-1 unmatched).
+
+    With frame_node/kf_node given (direct-index node ids from
+    vocabulary.transform at cfg.vocabulary.direct_index_level), pairs are
+    additionally restricted to a SHARED node — the reference's
+    FeatureVector walk in SearchByBoW (/root/reference/src/
+    ORBmatcher.cc:159-280). On TPU this is a pair MASK on the one dense
+    Hamming matmul, not a candidate-set pruning: it costs nothing and
+    buys nothing in time, only changes recall/precision
+    (cfg.vocabulary.use_direct_index; measured in
+    tools/direct_index_bench.py — dense wins, see RESULTS.md)."""
     has_lm = kf_valid & (kf_obs >= 0)
-    dist = hm.masked_hamming_matrix(frame_desc, frame_valid, kf_desc, has_lm)
+    pair = None
+    if frame_node is not None:
+        pair = (frame_node[:, None] == kf_node[None, :]) \
+            & (frame_node[:, None] >= 0)
+    dist = hm.masked_hamming_matrix(frame_desc, frame_valid, kf_desc,
+                                    has_lm, pair_mask=pair)
     idx, d, ok = hm.match_nn(dist, max_dist=50, ratio=0.75, mutual=True)
     lm = jnp.where(ok, kf_obs[jnp.clip(idx, 0, kf_obs.shape[0] - 1)], -1)
     return lm
@@ -70,11 +86,13 @@ def _match_frame_kf(frame_desc, frame_valid, kf_desc, kf_valid, kf_obs):
 
 def relocalize(m: MapState, db: kfdb_mod.KFDatabase, voc, cam, frame_data,
                seed: int = 0, max_candidates: int = 5,
-               min_inliers: int = 50
+               min_inliers: int = 50, use_direct_index: bool = False,
+               di_level: int = 2
                ) -> Tuple[bool, Optional[jnp.ndarray],
                           Optional[jnp.ndarray], Optional[jnp.ndarray]]:
     """Try to relocalize a lost frame. Returns (ok, R, t, obs_lm[N])."""
-    bv = voc_mod.transform(voc, frame_data.desc, frame_data.valid)
+    bv = voc_mod.transform(voc, frame_data.desc, frame_data.valid,
+                           di_level=di_level)
     hist = voc_mod.sparse_bow(bv, top_w=db.word.shape[1])
     # exclude CULLED keyframes (kf_valid off): their DB rows stay stored
     # but their frozen poses stopped receiving BA updates at cull time
@@ -85,10 +103,15 @@ def relocalize(m: MapState, db: kfdb_mod.KFDatabase, voc, cam, frame_data,
     for rank, k in enumerate(order):
         if scores[k] <= 0:
             break
+        fn = kn = None
+        if use_direct_index:
+            kf_bv = voc_mod.transform(voc, m.kf_kp_desc[k],
+                                      m.kf_kp_valid[k], di_level=di_level)
+            fn, kn = bv.node, kf_bv.node
         lm = _match_frame_kf(frame_data.desc,
                              frame_data.valid & frame_data.static_mask,
                              m.kf_kp_desc[k], m.kf_kp_valid[k],
-                             m.kf_obs_lm[k])
+                             m.kf_obs_lm[k], fn, kn)
         n_match = int((lm >= 0).sum())
         if n_match < 15:              # ref :2265
             continue

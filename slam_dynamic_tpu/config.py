@@ -84,6 +84,13 @@ class TrackingConfig:
     pipeline_depth: int = 0                # 1 = overlap the packed readback
     # of frame t with the dispatch of frame t+1 (decisions lag one frame,
     # like the reference's async LocalMapping thread); 0 = synchronous
+    chunk_eager_finalize: bool = True      # chunked mode: finalize the
+    # previous chunk (readback + keyframe insertion) BEFORE dispatching
+    # the next one, so a keyframe triggered inside chunk N reaches the
+    # map for chunk N+1 instead of chunk N+2 — decision lag C-j instead
+    # of 2C-j frames. Costs the readback/compute overlap (~one transport
+    # round trip per chunk); measured to buy back most of the chunked
+    # ATE penalty. False = overlapped (maximum-throughput) finalize.
     depth_stride: int = 1                  # upload every Nth depth pixel
     # (rgbd fused path): depth is only sampled at keypoints, so stride 2
     # quarters the depth h2d bytes for ~nearest-pixel sampling error;
@@ -183,6 +190,14 @@ class VocabularyConfig:
     k: int = 10
     levels: int = 4                        # 10^4 = 10k words (ref uses 10^6)
     direct_index_level: int = 2            # levels-up analog (ComputeBoW lvl 4 of 6)
+    # restrict relocalization's SearchByBoW analog to pairs sharing a
+    # direct-index node (ORBmatcher.cc:159). On TPU the dense MXU Hamming
+    # matrix is already one matmul, so the node gate buys no time — it is
+    # a RECALL/precision knob. Measured (tools/direct_index_bench.py):
+    # the gate loses matches near node boundaries and with it reloc
+    # inliers, so the default stays dense; flip on for corpora where
+    # cross-node matches are predominantly false positives.
+    use_direct_index: bool = False
     path: Optional[str] = None             # packed .npz vocabulary
     # False: ignore the shipped synthetic-corpus asset and train from the
     # first keyframe's own descriptors (scene-adapted words can give

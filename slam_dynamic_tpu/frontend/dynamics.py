@@ -104,11 +104,18 @@ class DynamicsModule:
                 continue
             bid = int(boxes.ids[i])
             last = self._obj_depth.get(bid)
+            # stale-state aging: the reference compares against the
+            # IMMEDIATELY PREVIOUS frame only — a smoothed depth from
+            # before an occlusion/re-entry gap must not freeze the track
+            # via the jump filter forever
+            stale_s = 2.0 * self.cfg.tracking.ref_frame_age_s
+            if last is not None and timestamp - last[1] > stale_s:
+                last = None
             if last is not None:
-                if abs(last - d) > 5.0:          # jump rejection
+                if abs(last[0] - d) > 5.0:       # jump rejection
                     continue
-                d = (last + 2.0 * d) / 3.0       # weight-3 smoothing
-            self._obj_depth[bid] = d
+                d = (last[0] + 2.0 * d) / 3.0    # weight-3 smoothing
+            self._obj_depth[bid] = (d, timestamp)
             cy = (boxes.boxes[i, 1] + boxes.boxes[i, 3]) * 0.5
             # box-center ray at the smoothed depth (ref tcd)
             t = np.array([(cx - cam.cx) / cam.fx * d,

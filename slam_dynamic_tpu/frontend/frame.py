@@ -63,6 +63,11 @@ class Frame:
     ref_kf: int = -1
     np_Rk: Optional[np.ndarray] = None
     np_tk: Optional[np.ndarray] = None
+    # generation of the reference-KF SLOT at dispatch time: if the slot
+    # recycles (new tenant) before this frame's trajectory entry is
+    # appended, the entry is stored as an absolute pose instead of
+    # relative-to-the-wrong-camera (Tracker._slot_gen)
+    ref_gen: int = 0
 
 
 def keypoints_in_boxes(xy: jnp.ndarray, valid: jnp.ndarray,

@@ -149,6 +149,10 @@ class Tracker:
         self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
         self._traj_by_slot = {}   # kf slot -> trajectory indices (for
         #                           materialization when a slot recycles)
+        self._slot_gen = {}       # kf slot -> recycle generation: an
+        # in-flight (pipelined/chunked) frame whose reference slot was
+        # recycled before its bookkeeping runs must store an ABSOLUTE
+        # trajectory entry — the slot now holds an unrelated camera
         self.on_keyframe: Optional[Callable[[int], None]] = None
         # optional relocalizer: frame -> (ok, R, t, obs_lm) (wired by System)
         self.relocalizer: Optional[Callable] = None
@@ -259,7 +263,8 @@ class Tracker:
                 seed=dyn["seed"], depth_scale=depth_scale, **common)
         self._prev2_pose = (R_last, t_last)
         frame = Frame(data=out.fd, frame_id=frame_id, timestamp=timestamp,
-                      boxes=boxes, ref_kf=ref_k)
+                      boxes=boxes, ref_kf=ref_k,
+                      ref_gen=self._slot_gen.get(ref_k, 0))
 
         if cfg.tracking.pipeline_depth > 0:
             # N-deep pipeline: finalize the oldest in-flight frame(s) while
@@ -319,6 +324,20 @@ class Tracker:
                     for (g, a, bx, ba, fid, ts) in frames]
         from .fused import fused_track_chunk, fused_track_chunk_dyn
         cfg = self.cfg
+        sts = []
+        if cfg.tracking.chunk_eager_finalize:
+            # finalize the PREVIOUS chunk before dispatching this one: a
+            # keyframe triggered inside it reaches the map now, so this
+            # chunk tracks against it (decision lag C-j, not 2C-j). Costs
+            # the readback/compute overlap — one extra transport round
+            # trip per chunk — and buys back most of the chunked ATE
+            # penalty (the reference's async LocalMapping lag is 1 frame,
+            # /root/reference/src/LocalMapping.cc:48-113).
+            while self._pending:
+                sts.append(self._finalize_one())
+                if self.state != "OK":
+                    self._pending.clear()
+                    return sts
         dc = self._scalar_consts()
         C = len(frames)
         H, W = frames[0][0].shape
@@ -392,8 +411,8 @@ class Tracker:
                 last_ids, R_last, t_last, R_prev2, t_prev2, has_vel,
                 self._ref_kf_const(), seed=dyn["seed"], **common)
 
-        # finalize the previous chunk WHILE this one computes on device
-        sts = []
+        # overlapped mode: finalize the previous chunk WHILE this one
+        # computes on device
         while self._pending:
             sts.append(self._finalize_one())
             if self.state != "OK":
@@ -407,7 +426,8 @@ class Tracker:
         for j, (g, a, bx, ba, fid, ts) in enumerate(frames):
             out = outs[j]._replace(packed=_PacketRow(shared, j))
             fr = Frame(data=out.fd, frame_id=fid, timestamp=ts,
-                       boxes=bx, ref_kf=ref_k)
+                       boxes=bx, ref_kf=ref_k,
+                       ref_gen=self._slot_gen.get(ref_k, 0))
             fr.R, fr.t = out.R, out.t
             fr.obs_lm = out.obs_lm
             self._pending.append((fr, out, dyn is not None))
@@ -498,12 +518,23 @@ class Tracker:
             return
         R = frame.np_R if frame.np_R is not None else np.asarray(frame.R)
         t = frame.np_t if frame.np_t is not None else np.asarray(frame.t)
-        k, Rk, tk = self._ref_kf_pose(frame)
-        R_rel = R @ Rk.T
-        t_rel = t - R_rel @ tk
-        self._traj_by_slot.setdefault(k, []).append(len(self.trajectory))
-        self.trajectory.append((frame.timestamp, k, R_rel, t_rel))
+        if self._ref_slot_recycled(frame):
+            # the reference slot was recycled while this frame was in
+            # flight: a relative entry would recompose against the slot's
+            # NEW tenant on export — store the absolute pose instead
+            self.trajectory.append((frame.timestamp, -1, R, t))
+        else:
+            k, Rk, tk = self._ref_kf_pose(frame)
+            R_rel = R @ Rk.T
+            t_rel = t - R_rel @ tk
+            self._traj_by_slot.setdefault(k, []).append(
+                len(self.trajectory))
+            self.trajectory.append((frame.timestamp, k, R_rel, t_rel))
         frame.np_R, frame.np_t = R, t
+
+    def _ref_slot_recycled(self, frame: Frame) -> bool:
+        return (frame.ref_kf >= 0 and
+                self._slot_gen.get(frame.ref_kf, 0) != frame.ref_gen)
 
     def _ref_kf_pose(self, frame: Frame):
         """(k, R_k, t_k) of the reference keyframe for relative-trajectory
@@ -596,12 +627,15 @@ class Tracker:
             # map corrections (local BA, loop closure) propagate into the
             # exported trajectory (ref System::SaveTrajectoryTUM uses
             # mlRelativeFramePoses the same way, System.cc:447-480)
-            k, Rk, tk = self._ref_kf_pose(frame)
-            R_rel = R @ Rk.T
-            t_rel = t - R_rel @ tk
-            self._traj_by_slot.setdefault(k, []).append(
-                len(self.trajectory))
-            self.trajectory.append((frame.timestamp, k, R_rel, t_rel))
+            if self._ref_slot_recycled(frame):
+                self.trajectory.append((frame.timestamp, -1, R, t))
+            else:
+                k, Rk, tk = self._ref_kf_pose(frame)
+                R_rel = R @ Rk.T
+                t_rel = t - R_rel @ tk
+                self._traj_by_slot.setdefault(k, []).append(
+                    len(self.trajectory))
+                self.trajectory.append((frame.timestamp, k, R_rel, t_rel))
             frame.np_R, frame.np_t = R, t
         self.last_frame = frame
 
@@ -821,6 +855,7 @@ class Tracker:
         self.velocity = None
         self.trajectory = kept
         self._traj_by_slot = {}
+        self._slot_gen = {}
         self.last_kf_id = -1
         self.frames_since_kf = 0
         self.last_kf_inliers = 0
@@ -855,6 +890,7 @@ class Tracker:
         if last_ids is None:
             last_ids = jnp.full(frame.data.xy.shape[0], -1, jnp.int32)
         frame.ref_kf = max(self.last_kf_id, 0)
+        frame.ref_gen = self._slot_gen.get(frame.ref_kf, 0)
         out = fused_track_prebuilt(
             self.map, self.cam, self.bounds, frame.data, last_ids,
             jnp.asarray(R_pred), jnp.asarray(t_pred),
@@ -1014,6 +1050,9 @@ class Tracker:
             self._materialize_slot_trajectory(
                 k, probe[2:11].reshape(3, 3), probe[11:14])
             self._kf_pose_cache.pop(k, None)     # stale pose of old tenant
+            # in-flight frames referencing slot k must not add relative
+            # entries against the new tenant (see _ref_slot_recycled)
+            self._slot_gen[k] = self._slot_gen.get(k, 0) + 1
         else:
             self.n_kf_host += 1
             k = self.n_kf_host - 1

@@ -128,7 +128,9 @@ class System:
         return relocalization.relocalize(
             self.tracker.map, self.loop.db, self.voc, self.cam, frame.data,
             seed=self.cfg.seed + frame.frame_id,
-            min_inliers=self.cfg.tracking.min_inliers_after_reloc)
+            min_inliers=self.cfg.tracking.min_inliers_after_reloc,
+            use_direct_index=self.cfg.vocabulary.use_direct_index,
+            di_level=self.cfg.vocabulary.direct_index_level)
 
     # ------------------------------------------------------------------
     def _maybe_detect(self, image: np.ndarray,
