@@ -121,10 +121,11 @@ def main():
                          "axon tunnel vs 30 fps budget, RESULTS.md); pass "
                          "--chunk 1 for the per-frame pipeline")
     ap.add_argument("--eager-finalize", action=argparse.BooleanOptionalAction,
-                    default=True,
+                    default=False,
                     help="chunked mode: finalize the previous chunk before "
                          "dispatching the next (KF decisions lag C-j not "
-                         "2C-j frames; costs the readback/compute overlap)")
+                         "2C-j frames; costs the readback/compute overlap: "
+                         "24.3 fps / 5.0 mm vs 30.2 fps / 5.9 mm measured)")
     ap.add_argument("--multi", type=int, default=0,
                     help="batched-serving mode: track N sequences as ONE "
                          "MultiSystem (single chip, one fused device call "
@@ -237,9 +238,9 @@ def main():
     if args.depth_stride > 1:
         cfg = cfg.replace(tracking=dataclasses.replace(
             cfg.tracking, depth_stride=args.depth_stride))
-    if not args.eager_finalize:
+    if args.eager_finalize:
         cfg = cfg.replace(tracking=dataclasses.replace(
-            cfg.tracking, chunk_eager_finalize=False))
+            cfg.tracking, chunk_eager_finalize=True))
     # warm up and time the SAME system: the first n_warm frames run with a
     # forced keyframe cadence so every jit unit (fused step, mapping stage,
     # loop-closer BoW) compiles before the timed window — first-compiles
@@ -485,16 +486,31 @@ def _run_multi(args, scfg, seq, gray8, aux8, cfg, _log,
 
     track_batch = (ms.track_stereo_batch if cfg.sensor == "stereo"
                    else ms.track_rgbd_batch)
+    C = args.chunk if args.chunk and args.chunk > 1 else 1
+    chunk_batch = (ms.track_stereo_chunk_batch if cfg.sensor == "stereo"
+                   else ms.track_rgbd_chunk_batch)
 
     def step(i):
+        if C > 1:
+            # B lanes x C frames in ONE device call (the composition of
+            # lane batching and temporal chunking — B*C tracked frames
+            # per transport round trip)
+            return chunk_batch(
+                [[gray8[idx(i + j, b)] for j in range(C)]
+                 for b in range(n)],
+                [[aux8[idx(i + j, b)] for j in range(C)]
+                 for b in range(n)],
+                [[float(seq.timestamps[idx(i + j, b)]) for j in range(C)]
+                 for b in range(n)])
         return track_batch(
             [gray8[idx(i, b)] for b in range(n)],
             [aux8[idx(i, b)] for b in range(n)],
             [float(seq.timestamps[idx(i, b)]) for b in range(n)])
 
     n_warm = min(14, nf - 1)
-    _log(f"multi[{n}] warmup: {n_warm} steps")
-    for i in range(n_warm):
+    _log(f"multi[{n}]{f' x chunk[{C}]' if C > 1 else ''} warmup: "
+         f"{n_warm} steps")
+    for i in range(0, n_warm, C):
         step(i)
         _log(f"warm step {i} done")
     # restore the real cadence (host-side only; no recompiles)
@@ -510,20 +526,21 @@ def _run_multi(args, scfg, seq, gray8, aux8, cfg, _log,
     with _progress_lock:
         _progress["t_timed0"] = t0
     step_times = []
-    for i in range(n_warm, nf):
+    n_timed = 0
+    for i in range(n_warm, nf - C + 1, C):
         f0 = time.time()
         step(i)
         step_times.append(time.time() - f0)
+        n_timed += C
         with _progress_lock:
-            _progress["frames"] = len(step_times) * n
+            _progress["frames"] = n_timed * n
     ms.flush()
     dt = time.time() - t0
     with _progress_lock:
         _progress["done"] = True
-    steps = nf - n_warm
-    fps = steps * n / dt
+    fps = n_timed * n / dt
     st_ms = np.sort(np.asarray(step_times)) * 1e3
-    print(f"[bench] step ms (={n} frames): p50 {np.median(st_ms):.1f} "
+    print(f"[bench] step ms (={n * C} frames): p50 {np.median(st_ms):.1f} "
           f"p90 {st_ms[int(len(st_ms)*0.9)]:.1f} max {st_ms[-1]:.1f}",
           file=sys.stderr)
     # accuracy: lane 0 runs the unshifted sequence
@@ -531,7 +548,8 @@ def _run_multi(args, scfg, seq, gray8, aux8, cfg, _log,
     est = np.stack([-R.T @ t for _, R, t in traj])
     ate = ate_rmse(est, seq.t_wc[:len(est)])
     kind = "stereo" if cfg.sensor == "stereo" else "RGB-D"
-    label = (f"aggregate tracked frames/s/chip ({n} lanes, 640x480 "
+    ck = f" x chunk={C}" if C > 1 else ""
+    label = (f"aggregate tracked frames/s/chip ({n} lanes{ck}, 640x480 "
              f"{kind}, batched MultiSystem)")
     if cpu_fallback:
         label += (" — CPU FALLBACK, TPU device unresponsive; healthy-"

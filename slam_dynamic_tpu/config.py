@@ -84,13 +84,14 @@ class TrackingConfig:
     pipeline_depth: int = 0                # 1 = overlap the packed readback
     # of frame t with the dispatch of frame t+1 (decisions lag one frame,
     # like the reference's async LocalMapping thread); 0 = synchronous
-    chunk_eager_finalize: bool = True      # chunked mode: finalize the
+    chunk_eager_finalize: bool = False     # chunked mode: finalize the
     # previous chunk (readback + keyframe insertion) BEFORE dispatching
     # the next one, so a keyframe triggered inside chunk N reaches the
     # map for chunk N+1 instead of chunk N+2 — decision lag C-j instead
-    # of 2C-j frames. Costs the readback/compute overlap (~one transport
-    # round trip per chunk); measured to buy back most of the chunked
-    # ATE penalty. False = overlapped (maximum-throughput) finalize.
+    # of 2C-j frames. Costs the readback/compute overlap: measured on
+    # the TPU tunnel 24.3 fps / 4.98 mm ATE (eager) vs 30.23 fps /
+    # 5.94 mm (overlapped) — the default stays overlapped (real-time
+    # budget first); flip on for accuracy-critical offline runs.
     depth_stride: int = 1                  # upload every Nth depth pixel
     # (rgbd fused path): depth is only sampled at keypoints, so stride 2
     # quarters the depth h2d bytes for ~nearest-pixel sampling error;
@@ -127,6 +128,13 @@ class DynamicConfig:
     chi2_fundamental: float = 5.841        # ref Tracking.cc:1326 (1-dof 0.95-ish)
     ransac_hypotheses: int = 256           # batched RANSAC rounds
     ransac_threshold_px: float = 3.0
+    classify_every_chunked: int = 2        # chunked-dyn mode: run the H/F
+    # classification on every Nth frame of a chunk (skipped frames emit
+    # verdict 0 = unknown, which the host streak logic ignores). The
+    # reference already needs 2 CONSECUTIVE dynamic verdicts to confirm
+    # (Tracking.cc:1213-1226), so the streak semantics survive at half
+    # rate — and the fused classification is the chunk's dominant device
+    # cost. 1 = classify every frame.
     min_pairs_for_model: int = 20
     box_center_margin: Tuple[float, float] = (0.2, 0.8)   # ref :818
     max_object_depth: float = 20.0         # ref :853

@@ -364,6 +364,39 @@ def fused_track_chunk(
         depth_scale, depth_stride, chunk, dyn=None)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("orb_cfg", "height", "width", "sensor",
+                     "max_kf", "max_lm", "n_levels", "n_slots",
+                     "depth_stride", "chunk"))
+def fused_track_chunk_batch(
+        m: MapState, cam: Intrinsics, bounds, images, auxs,
+        boxes, box_active,
+        last_obs_lm, R_last, t_last, R_prev2, t_prev2, has_vel, ref_kf,
+        orb_cfg: ORBConfig, height: int, width: int,
+        mm_radius, local_radius, depth_th, scale_factor,
+        min_inliers_track,
+        sensor: str = "rgbd", max_kf: int = 16, max_lm: int = 4096,
+        n_levels: int = 8, n_slots: int = 0,
+        depth_scale=None, depth_stride: int = 1, chunk: int = 2):
+    """B lanes x C consecutive frames in ONE device call: the composition
+    of MultiSystem's lane batching (fused_track_step_batch) with temporal
+    chunking (fused_track_chunk) — one upload + one packed [B, C, 28]
+    readback drives B*C tracked frames. Through a latency-bound transport
+    the round-trip cost divides by B*C. images: [B, C, H, W]; the
+    MapState pytree and all recurrent state carry a leading [B] axis
+    (shard it over a mesh "dp" axis for multi-chip serving)."""
+    def one(m1, im, ax, bx1, ba1, last1, Rl, tl, Rp2, tp2, hv, rkf):
+        return _chunk_body(
+            m1, cam, bounds, im, ax, bx1, ba1, last1, Rl, tl, Rp2, tp2,
+            hv, rkf, orb_cfg, height, width, mm_radius, local_radius,
+            depth_th, scale_factor, min_inliers_track, sensor, max_kf,
+            max_lm, n_levels, n_slots, depth_scale, depth_stride, chunk,
+            dyn=None)
+    return jax.vmap(one)(m, images, auxs, boxes, box_active, last_obs_lm,
+                         R_last, t_last, R_prev2, t_prev2, has_vel, ref_kf)
+
+
 def _chunk_body(m, cam, bounds, images, auxs, boxes, box_active,
                 last_obs_lm, R_last, t_last, R_prev2, t_prev2, has_vel,
                 ref_kf, orb_cfg, height, width, mm_radius, local_radius,
@@ -395,17 +428,23 @@ def _chunk_body(m, cam, bounds, images, auxs, boxes, box_active,
                               depth_stride=depth_stride)
         verdict = None
         if dyn is not None:
-            from .dynamics_ops import classify_boxes
-            # per-frame RANSAC variation derives from the chained pose
-            # (changes every frame), like fused_track_step_dyn
-            seed = dyn["seed"] + jnp.int32(j) \
-                + (jnp.abs(tl) * 8388608.0).sum().astype(jnp.int32) \
-                + (jnp.abs(Rl) * 65536.0).sum().astype(jnp.int32)
-            v = classify_boxes(cam, dyn["ref_fd"], fd, boxes[j],
-                               box_active[j], n_hyp=dyn["n_hyp"],
-                               seed=seed)
-            verdict = jnp.where(dyn["have_ref"] > 0, v.verdict,
-                                jnp.zeros_like(v.verdict))
+            if j % dyn.get("classify_every", 1) == 0:
+                from .dynamics_ops import classify_boxes
+                # per-frame RANSAC variation derives from the chained pose
+                # (changes every frame), like fused_track_step_dyn
+                seed = dyn["seed"] + jnp.int32(j) \
+                    + (jnp.abs(tl) * 8388608.0).sum().astype(jnp.int32) \
+                    + (jnp.abs(Rl) * 65536.0).sum().astype(jnp.int32)
+                v = classify_boxes(cam, dyn["ref_fd"], fd, boxes[j],
+                                   box_active[j], n_hyp=dyn["n_hyp"],
+                                   seed=seed)
+                verdict = jnp.where(dyn["have_ref"] > 0, v.verdict,
+                                    jnp.zeros_like(v.verdict))
+            else:
+                # skipped frame: verdict 0 (unknown) — the host streak
+                # logic ignores it; reinstatement still follows the
+                # host's box status below
+                verdict = jnp.zeros_like(dyn["box_status"])
             status = dyn["box_status"]
             static_now = box_active[j] & (status != 2) & \
                 ((status == 1) | (verdict == 1))
@@ -440,7 +479,7 @@ def _chunk_body(m, cam, bounds, images, auxs, boxes, box_active,
     jax.jit,
     static_argnames=("orb_cfg", "height", "width", "sensor",
                      "max_kf", "max_lm", "n_levels", "n_slots", "n_hyp",
-                     "depth_stride", "chunk"))
+                     "depth_stride", "chunk", "classify_every"))
 def fused_track_chunk_dyn(
         m: MapState, cam: Intrinsics, bounds, images, auxs,
         boxes, box_active, box_status, ref_fd: FrameData, have_ref,
@@ -450,7 +489,8 @@ def fused_track_chunk_dyn(
         min_inliers_track, seed,
         sensor: str = "rgbd", max_kf: int = 16, max_lm: int = 4096,
         n_levels: int = 8, n_slots: int = 0, n_hyp: int = 256,
-        depth_scale=None, depth_stride: int = 1, chunk: int = 2):
+        depth_scale=None, depth_stride: int = 1, chunk: int = 2,
+        classify_every: int = 1):
     """Dynamic-scene temporal chunking: C consecutive frames, each with
     fused H/F box classification + feature reinstatement, in ONE device
     call + ONE packed [C, 28+B] readback — fused_track_chunk composed
@@ -459,9 +499,12 @@ def fused_track_chunk_dyn(
     transport like the static chunk). box_status is the host's
     START-OF-CHUNK belief; fresh verdicts return per frame in the packet
     tail and the host's streak bookkeeping lags one chunk (the same
-    one-sided lag the reference's async thread has, widened to C)."""
+    one-sided lag the reference's async thread has, widened to C).
+    classify_every=N classifies every Nth chunk frame (skipped frames
+    emit verdict 0; the reference's 2-consecutive-frames confirmation
+    survives at half rate, Tracking.cc:1213-1226)."""
     dyn = dict(box_status=box_status, ref_fd=ref_fd, have_ref=have_ref,
-               seed=seed, n_hyp=n_hyp)
+               seed=seed, n_hyp=n_hyp, classify_every=classify_every)
     return _chunk_body(
         m, cam, bounds, images, auxs, boxes, box_active, last_obs_lm,
         R_last, t_last, R_prev2, t_prev2, has_vel, ref_kf, orb_cfg,

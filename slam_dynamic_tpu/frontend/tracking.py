@@ -409,7 +409,9 @@ class Tracker:
                 bx_stack, ba_stack,
                 dyn["box_status"], dyn["ref_fd"], dyn["have_ref"],
                 last_ids, R_last, t_last, R_prev2, t_prev2, has_vel,
-                self._ref_kf_const(), seed=dyn["seed"], **common)
+                self._ref_kf_const(), seed=dyn["seed"],
+                classify_every=cfg.dynamic.classify_every_chunked,
+                **common)
 
         # overlapped mode: finalize the previous chunk WHILE this one
         # computes on device

@@ -283,3 +283,65 @@ class RosbagRGBD:
         from .datasets import FramePacket
         for i, (ts, g, d) in enumerate(self.pairs):
             yield FramePacket(i, ts, g, depth=d)
+
+
+class RosbagStereo:
+    """FramePacket iterator over a recorded stereo bag (the offline
+    analog of ros_stereo.cc's left/right ApproximateTime subscribers,
+    /root/reference/Examples/ROS/ORB_SLAM2/src/ros_stereo.cc): nearest-
+    timestamp association of the left topic with the right topic.
+    Rectification, when needed, belongs to the camera yaml (io/datasets
+    EuRoC shows the pattern); bags recorded from pre-rectified pipelines
+    (the common case for ORB-SLAM deployments) pass straight through."""
+
+    def __init__(self, path: str,
+                 left_topic: str = "/camera/left/image_raw",
+                 right_topic: str = "/camera/right/image_raw",
+                 max_dt: float = 0.02):
+        self.reader = BagReader(path)
+        lefts, rights = [], []
+        for topic, t, raw in self.reader.messages([left_topic,
+                                                   right_topic]):
+            msg = decode_image(raw)
+            ts = msg.stamp if msg.stamp > 0 else t
+            (lefts if topic == left_topic else rights).append(
+                (ts, msg.data))
+        self.pairs = []
+        rts = np.array([r[0] for r in rights]) if rights else np.zeros(0)
+        for ts, g in lefts:
+            if not len(rts):
+                break
+            j = int(np.argmin(np.abs(rts - ts)))
+            if abs(rts[j] - ts) <= max_dt:
+                self.pairs.append((ts, g, rights[j][1]))
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __iter__(self):
+        from .datasets import FramePacket
+        for i, (ts, g, r) in enumerate(self.pairs):
+            yield FramePacket(i, ts, g, right=r)
+
+
+class RosbagMono:
+    """FramePacket iterator over a single image topic (the offline analog
+    of ros_mono.cc, /root/reference/Examples/ROS/ORB_SLAM2/src/
+    ros_mono.cc)."""
+
+    def __init__(self, path: str,
+                 topic: str = "/camera/image_raw"):
+        self.reader = BagReader(path)
+        self.frames = []
+        for _topic, t, raw in self.reader.messages([topic]):
+            msg = decode_image(raw)
+            ts = msg.stamp if msg.stamp > 0 else t
+            self.frames.append((ts, msg.data))
+
+    def __len__(self):
+        return len(self.frames)
+
+    def __iter__(self):
+        from .datasets import FramePacket
+        for i, (ts, g) in enumerate(self.frames):
+            yield FramePacket(i, ts, g)

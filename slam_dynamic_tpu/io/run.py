@@ -52,7 +52,14 @@ def make_dataset(args, cfg):
         return EurocDataset(args.path, stereo=(args.sensor == "stereo"),
                             yaml_path=args.yaml or None)
     if args.dataset == "rosbag":
-        from .rosbag import RosbagRGBD
+        # sensor selects the ros node analog: rgbd = ros_rgbd.cc,
+        # stereo = ros_stereo.cc, mono = ros_mono.cc
+        from .rosbag import RosbagMono, RosbagRGBD, RosbagStereo
+        if args.sensor == "stereo":
+            return RosbagStereo(args.path, left_topic=args.left_topic,
+                                right_topic=args.right_topic)
+        if args.sensor == "mono":
+            return RosbagMono(args.path, topic=args.rgb_topic)
         return RosbagRGBD(args.path, rgb_topic=args.rgb_topic,
                           depth_topic=args.depth_topic)
     from .synthetic import SynthConfig, generate
@@ -97,6 +104,10 @@ def main(argv=None):
     ap.add_argument("--depth-topic",
                     default="/camera/depth_registered/image_raw",
                     help="rosbag: registered depth topic")
+    ap.add_argument("--left-topic", default="/camera/left/image_raw",
+                    help="rosbag stereo: left topic (ref ros_stereo.cc)")
+    ap.add_argument("--right-topic", default="/camera/right/image_raw",
+                    help="rosbag stereo: right topic")
     ap.add_argument("--boxes", default=None, help="precomputed boxes dir")
     ap.add_argument("--masks", default=None, help="precomputed masks dir")
     ap.add_argument("--out", default="/tmp/slam_run")

@@ -238,7 +238,9 @@ class MultiSystem:
             # a lane is about to run its scalar path, which appends
             # trajectory entries — drain the in-flight step FIRST so its
             # (older) entries land in timestamp order
-            early = self.flush()
+            prev, self._pending = self._pending, None
+            fin = self._finalize_any(prev)
+            early = fin[-1] if prev[0] == "chunk" else fin
 
         # lanes outside steady-state run their own scalar path (init,
         # lost->reloc, mono bootstrap); they write their map + recurrent
@@ -320,7 +322,8 @@ class MultiSystem:
         # refreshes them from the authoritative map before the next use)
         self._csrc = (out.lm_visible, out.lm_found)
 
-        step = (out, [float(t) for t in timestamps], ref_ks, batched)
+        step = ("frame", (out, [float(t) for t in timestamps], ref_ks,
+                          batched))
         if self.pipeline:
             prev, self._pending = self._pending, step
             if prev is None:
@@ -339,16 +342,147 @@ class MultiSystem:
                 return stats
             # return the PREVIOUS step's finalized stats (decisions lag 1
             # step); fallback lanes' stats from THIS step override theirs
-            prev_stats = self._finalize_step(prev)
+            prev_stats = self._finalize_any(prev)
+            if isinstance(prev_stats, list) and prev_stats and \
+                    isinstance(prev_stats[0], list):
+                prev_stats = prev_stats[-1]     # chunk: last frame's row
             for b in range(self.n):
                 if stats[b] is not None:
                     prev_stats[b] = stats[b]
             return prev_stats
-        fin = self._finalize_step(step)
+        fin = self._finalize_step(step[1])
         for b in range(self.n):
             if fin[b] is not None:
                 stats[b] = fin[b]
         return stats
+
+    # ------------------------------------------------------------------
+    def track_rgbd_chunk_batch(self, grays, depths, timestamps):
+        """B lanes x C consecutive frames in ONE device call + ONE packed
+        [B, C, 28] readback (fused.fused_track_chunk_batch): the serving
+        composition of lane batching and temporal chunking — the
+        round-trip cost of a latency-bound transport divides by B*C.
+        grays/depths/timestamps: [B][C] nested sequences. Decisions lag
+        one chunk per lane; lanes outside steady state make the whole
+        chunk fall back to per-frame batched stepping (rare). Returns the
+        flat list of TrackStats finalized during this call."""
+        assert self.cfg.sensor == "rgbd", self.cfg.sensor
+        return self._track_chunk_batch(grays, depths, timestamps)
+
+    def track_stereo_chunk_batch(self, lefts, rights, timestamps):
+        assert self.cfg.sensor == "stereo", self.cfg.sensor
+        return self._track_chunk_batch(lefts, rights, timestamps)
+
+    def _track_chunk_batch(self, grays, auxes, timestamps):
+        from ..frontend.fused import fused_track_chunk_batch
+        cfg = self.cfg
+        C = len(grays[0])
+        sts: List[TrackStats] = []
+
+        def fallback():
+            for j in range(C):
+                row = self._track_batch(
+                    [np.asarray(g[j]) for g in grays],
+                    [np.asarray(a[j]) for a in auxes],
+                    [float(t[j]) for t in timestamps])
+                sts.extend(st for st in row if st is not None)
+            return sts
+
+        if C == 1 or any(s.tracker.state != "OK" for s in self.systems):
+            return fallback()
+        if self._bst is None:
+            self._init_bstate()
+        t0 = self.systems[0].tracker
+        dc = t0._scalar_consts()
+        H, W = np.asarray(grays[0][0]).shape
+        ds = cfg.tracking.depth_stride if cfg.sensor == "rgbd" else 1
+        if cfg.sensor == "rgbd" and ds > 1:
+            auxes = [[np.ascontiguousarray(np.asarray(x)[::ds, ::ds])
+                      for x in al] for al in auxes]
+        g = self._put(jnp.asarray(
+            np.stack([np.stack([np.asarray(x) for x in gl])
+                      for gl in grays])))
+        d = self._put(jnp.asarray(
+            np.stack([np.stack([np.asarray(x) for x in al])
+                      for al in auxes])))
+        key = ("chunk_empty_boxes", C)
+        cache = getattr(self, "_chunk_boxes_cache", None)
+        if cache is None or cache[0] != key:
+            B = cfg.dynamic.max_boxes
+            self._chunk_boxes_cache = cache = (key, (
+                self._put(jnp.full((self.n, C, B, 4), -1.0, jnp.float32)),
+                self._put(jnp.zeros((self.n, C, B), bool))))
+        bx, ba = cache[1]
+        depth_scale = dc["depth_scale"] if np.asarray(
+            auxes[0][0]).dtype == np.uint16 else None
+        ref_ks = tuple(max(s.tracker.last_kf_id, 0) for s in self.systems)
+        if self._ref_kf_batch is None or self._ref_kf_batch[0] != ref_ks:
+            self._ref_kf_batch = (
+                ref_ks, self._put(jnp.asarray(np.array(ref_ks, np.int32))))
+        st = self._bst
+        if self._csrc is None:
+            self._csrc = (self.maps.lm_visible, self.maps.lm_found)
+        maps_in = self.maps._replace(lm_visible=self._csrc[0],
+                                     lm_found=self._csrc[1])
+        outs, packed_dev = fused_track_chunk_batch(
+            maps_in, t0.cam, t0.bounds, g, d, bx, ba, st["last_ids"],
+            st["R_last"], st["t_last"], st["R_p2"], st["t_p2"],
+            st["has_vel"], self._ref_kf_batch[1],
+            orb_cfg=cfg.orb, height=H, width=W,
+            mm_radius=dc["mm_radius"], local_radius=dc["local_radius"],
+            depth_th=dc["depth_th"], scale_factor=dc["sf"],
+            min_inliers_track=dc["min_tr"], sensor=cfg.sensor,
+            max_kf=cfg.capacity.local_ba_keyframes,
+            max_lm=cfg.capacity.local_ba_landmarks,
+            n_levels=cfg.orb.n_levels,
+            n_slots=cfg.capacity.max_keypoints,
+            depth_scale=depth_scale,
+            depth_stride=(ds if cfg.sensor == "rgbd" else 1), chunk=C)
+        self._bst = {
+            "last_ids": outs[-1].obs_lm, "R_last": outs[-1].R,
+            "t_last": outs[-1].t, "R_p2": outs[-2].R, "t_p2": outs[-2].t,
+            "has_vel": self._ones,
+        }
+        self._csrc = (outs[-1].lm_visible, outs[-1].lm_found)
+        ts = [[float(t) for t in tl] for tl in timestamps]
+        step = ("chunk", (outs, packed_dev, ts, ref_ks, C))
+        if self.pipeline:
+            prev, self._pending = self._pending, step
+            if prev is not None:
+                fin = self._finalize_any(prev)
+                sts.extend(st for row in fin for st in row
+                           if st is not None)
+            return sts
+        fin = self._finalize_any(step)
+        sts.extend(st for row in fin for st in row if st is not None)
+        return sts
+
+    def _finalize_chunk(self, step):
+        """Finalize a chunk step: ONE [B, C, 28+] readback, then the
+        per-lane host state machine frame by frame (a lane that goes LOST
+        mid-chunk skips its remaining frames — they chained on device
+        from a lost pose). Returns [C][B] stats rows."""
+        outs, packed_dev, ts, ref_ks, C = step
+        self.maps = self.maps._replace(lm_visible=outs[-1].lm_visible,
+                                       lm_found=outs[-1].lm_found)
+        packed = np.asarray(packed_dev)          # [B, C, 28]
+        rows = []
+        for j in range(C):
+            row: List[Optional[TrackStats]] = [None] * self.n
+            for b in range(self.n):
+                if self.systems[b].tracker.state != "OK":
+                    continue
+                row[b] = self._lane_post(b, outs[j], packed[b, j],
+                                         ts[b][j], ref_ks[b],
+                                         allow_obs_patch=False)
+            rows.append(row)
+        return rows
+
+    def _finalize_any(self, step):
+        kind, payload = step
+        if kind == "chunk":
+            return self._finalize_chunk(payload)
+        return self._finalize_step(payload)
 
     def flush(self):
         """Drain the in-flight pipelined step (call before reading
@@ -356,7 +490,10 @@ class MultiSystem:
         if self._pending is None:
             return None
         prev, self._pending = self._pending, None
-        return self._finalize_step(prev)
+        fin = self._finalize_any(prev)
+        if prev[0] == "chunk":
+            return [st for row in fin for st in row if st is not None]
+        return fin
 
     def _finalize_step(self, step) -> List[Optional[TrackStats]]:
         out, ts, ref_ks, batched = step
@@ -382,7 +519,8 @@ class MultiSystem:
             stats[b] = self._lane_post(b, out, packed[b], ts[b], ref_ks[b])
         return stats
 
-    def _lane_post(self, b, out, pk, ts, ref_k) -> TrackStats:
+    def _lane_post(self, b, out, pk, ts, ref_k,
+                   allow_obs_patch: bool = True) -> TrackStats:
         """Host state machine for one batched lane from its packet row —
         device work (FrameData slices, map materialization) happens ONLY
         on keyframe / lost events."""
@@ -475,7 +613,7 @@ class MultiSystem:
                 # the refreshed observation row only in sync mode (in
                 # pipelined mode the batch state has already rotated to a
                 # NEWER frame — same skew as the single-System pipeline)
-                if not self.pipeline:
+                if not self.pipeline and allow_obs_patch:
                     self._bst["last_ids"] = \
                         self._bst["last_ids"].at[b].set(frame.obs_lm)
                 self._ref_kf_batch = None

@@ -130,11 +130,17 @@ _WORKER = textwrap.dedent("""
     from slam_dynamic_tpu.optim.local_ba import bundle_adjust
     from slam_dynamic_tpu.parallel import sharded_ba as sba
     rngba = np.random.default_rng(0)
-    bap, Rs_gt, ts_gt, pts_gt = _ba_problem(rngba, K=5, L=64, stereo=True)
+    # non-trivial shape over the real process boundary: 16 keyframes x
+    # 1024 landmarks x ~11k observations (production shapes
+    # K=64/L=32k run on the 8-device virtual mesh in test_sharded_ba /
+    # the driver's dryrun; this is the largest that keeps the 2-process
+    # Gloo CI leg under a minute)
+    bap, Rs_gt, ts_gt, pts_gt = _ba_problem(rngba, K=16, L=1024,
+                                            stereo=True)
     res1 = bundle_adjust(CAM, bap, stereo=True)
-    sp, Lp = to_sharded(bap, D, 512)
-    run_ba = sba.make_sharded_ba(mesh, CAM, K=5, L=Lp, O=512, stereo=True,
-                                 iters=15)
+    sp, Lp = to_sharded(bap, D, 12288)
+    run_ba = sba.make_sharded_ba(mesh, CAM, K=16, L=Lp, O=12288,
+                                 stereo=True, iters=15)
     kf_R, kf_t, pts = run_ba(sp)
     kt = np.asarray(kf_t.addressable_data(0))
     np.testing.assert_allclose(kt, np.asarray(res1.kf_t), atol=5e-3)

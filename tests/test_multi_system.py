@@ -144,3 +144,46 @@ def test_multi_system_dp_sharded():
         assert len(est) == T
         ate = ate_rmse(est, seq.t_wc[:T], align=False)
         assert ate < 0.08, (b, ate)
+
+
+@pytest.mark.slow
+def test_multi_system_chunked():
+    """B lanes x C frames per device call (fused_track_chunk_batch): the
+    serving composition of lane batching and temporal chunking. Each
+    lane's trajectory must match its independent-System quality; stats
+    cover every frame exactly once (decisions lag one chunk)."""
+    seqs = [generate(SynthConfig(**BASE, seed=s)) for s in (0, 3)]
+    scfg = SynthConfig(**BASE)
+    T = seqs[0].gray.shape[0]
+    C = 3
+
+    ms = MultiSystem(_cfg(scfg), n=len(seqs), pipeline=True)
+    # bootstrap per-frame until all lanes are OK
+    i = 0
+    while any(s.tracker.state != "OK" for s in ms.systems) and i < 4:
+        ms.track_rgbd_batch([seq.gray[i] for seq in seqs],
+                            [seq.depth[i] for seq in seqs],
+                            [float(seq.timestamps[i]) for seq in seqs])
+        i += 1
+    n_stats = 0
+    while i + C <= T:
+        sts = ms.track_rgbd_chunk_batch(
+            [[seq.gray[i + j] for j in range(C)] for seq in seqs],
+            [[seq.depth[i + j] for j in range(C)] for seq in seqs],
+            [[float(seq.timestamps[i + j]) for j in range(C)]
+             for seq in seqs])
+        n_stats += len(sts)
+        i += C
+    ms.flush()
+    for b, seq in enumerate(seqs):
+        traj = ms.systems[b].trajectory
+        est = _est(traj)
+        gt = seq.t_wc[:len(est)]
+        ate = ate_rmse(est, gt, align=False)
+        assert ate < 0.06, (b, ate)
+        assert ms.systems[b].tracker.state == "OK"
+        assert ms.systems[b].tracker.n_kf_host >= 2
+        # every chunked frame appears exactly once, in timestamp order
+        ts = [t for t, _, _ in traj]
+        assert ts == sorted(ts) and len(ts) == len(set(ts))
+        assert len(ts) >= i - C            # all finalized chunks covered

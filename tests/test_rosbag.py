@@ -113,3 +113,40 @@ def test_full_slam_from_bag(tmp_path):
     est = np.stack([-R.T @ t for _, R, t in sys_.trajectory])
     ate = ate_rmse(est, seq.t_wc[:len(est)])
     assert ate < 0.02, ate
+
+
+def test_rosbag_stereo_and_mono_adapters(tmp_path):
+    """RosbagStereo / RosbagMono: the offline analogs of ros_stereo.cc /
+    ros_mono.cc complete the ROS-node surface for recorded bags."""
+    p = tmp_path / "s.bag"
+    wtr = rb.BagWriter(str(p))
+    rng = np.random.RandomState(1)
+    for i in range(4):
+        ts = 50.0 + i / 10.0
+        L = rng.randint(0, 255, (20, 30), dtype=np.uint8)
+        R = rng.randint(0, 255, (20, 30), dtype=np.uint8)
+        wtr.write_image("/camera/left/image_raw", ts, L)
+        wtr.write_image("/camera/right/image_raw", ts + 0.002, R)
+    wtr.close()
+    st = rb.RosbagStereo(str(p))
+    assert len(st) == 4
+    pkts = list(st)
+    assert pkts[0].right is not None and pkts[0].right.shape == (20, 30)
+    assert pkts[0].depth is None
+    assert abs(pkts[1].timestamp - 50.1) < 1e-6
+
+    mono = rb.RosbagMono(str(p), topic="/camera/left/image_raw")
+    assert len(mono) == 4
+    mp = list(mono)
+    assert mp[2].gray.shape == (20, 30)
+    assert mp[2].right is None and mp[2].depth is None
+
+    # association tolerance: a right frame >20ms away is dropped
+    p2 = tmp_path / "s2.bag"
+    wtr = rb.BagWriter(str(p2))
+    wtr.write_image("/camera/left/image_raw", 1.0,
+                    np.zeros((8, 8), np.uint8))
+    wtr.write_image("/camera/right/image_raw", 1.5,
+                    np.zeros((8, 8), np.uint8))
+    wtr.close()
+    assert len(rb.RosbagStereo(str(p2))) == 0
