@@ -15,4 +15,6 @@ import os as _os
 # SLAM_TPU_FAST_MATMUL=1.
 if not _os.environ.get("SLAM_TPU_FAST_MATMUL"):
     import jax as _jax
-    _jax.config.update("jax_default_matmul_precision", "highest")
+    _jax.config.update(
+        "jax_default_matmul_precision",
+        _os.environ.get("SLAM_TPU_MATMUL_PRECISION", "highest"))

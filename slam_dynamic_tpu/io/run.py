@@ -128,6 +128,12 @@ def main(argv=None):
                     help="pace frames to the dataset timestamps (the "
                          "reference drivers' usleep pacing, "
                          "Examples/Stereo/stereo_kitti.cc:147-154)")
+    ap.add_argument("--ar", type=int, default=0, metavar="N",
+                    help="AR demo (headless ViewerAR analog, ref Examples/"
+                         "ROS/ORB_SLAM2/src/AR/): detect a dominant plane "
+                         "from the map, anchor a virtual cube on it, and "
+                         "write every Nth frame with the cube wireframe "
+                         "rendered through the live pose to <out>/ar/")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -151,6 +157,12 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     frame_log = open(os.path.join(args.out, "frames.jsonl"), "w") \
         if args.log_frames else None
+    ar_plane = None
+    ar_verts = None
+    n_ar = 0
+    _ar_grays = {}
+    if args.ar:
+        os.makedirs(os.path.join(args.out, "ar"), exist_ok=True)
     times = []
     n_lost = 0
     prev_ts = None
@@ -176,6 +188,33 @@ def main(argv=None):
             st = sys_.track_mono(pkt.gray, pkt.timestamp)
         times.append(time.time() - t0)
         n_lost += st.state != "OK"
+        if args.ar:
+            # headless ViewerAR: insert the cube once a plane is found,
+            # then re-render it through every frame's tracked pose. In
+            # pipelined mode the finalized pose lags the input frame, so
+            # frames are matched by st.frame_id against a small cache.
+            _ar_grays[getattr(sys_, "frame_id", i) - 1] = pkt.gray
+            while len(_ar_grays) > 8:
+                _ar_grays.pop(next(iter(_ar_grays)))
+            if st.state == "OK" and st.np_R is not None:
+                from ..viz import ar as ar_mod
+                from ..viz.headless import write_png
+                if ar_plane is None and sys_.tracker.n_kf_host >= 2:
+                    m = sys_.tracker.map
+                    ar_plane = ar_mod.detect_plane(
+                        np.asarray(m.lm_pos), np.asarray(m.lm_valid))
+                    if ar_plane is not None:
+                        ar_verts = ar_mod.cube_vertices(ar_plane)
+                g = _ar_grays.get(st.frame_id)
+                if ar_verts is not None and g is not None \
+                        and st.frame_id % max(args.ar, 1) == 0:
+                    cam = cfg.camera
+                    rgb = ar_mod.render_cube(
+                        g, st.np_R, st.np_t, cam.fx, cam.fy,
+                        cam.cx, cam.cy, ar_verts)
+                    write_png(os.path.join(args.out, "ar",
+                                           f"{st.frame_id:06d}.png"), rgb)
+                    n_ar += 1
         if frame_log is not None:
             # structured per-frame observability (the reference only has
             # ad-hoc cout prints, SURVEY 5.5)
@@ -208,6 +247,8 @@ def main(argv=None):
         "keyframes": int(sys_.tracker.map.n_kf),
         "landmarks": int(sys_.tracker.map.n_lm),
     }
+    if args.ar:
+        summary["ar_frames"] = n_ar
     if args.dataset == "synthetic":
         # the synthetic world has exact ground truth: export it in TUM
         # format so the full evo protocol (`io.evo ape tum est gt`) closes
