@@ -135,6 +135,14 @@ class DynamicConfig:
     # (Tracking.cc:1213-1226), so the streak semantics survive at half
     # rate — and the fused classification is the chunk's dominant device
     # cost. 1 = classify every frame.
+    classify_every: int = 2                # per-frame pipeline: classify on
+    # every Nth frame; skip frames dispatch the SMALL static executable
+    # (status-1 boxes simply don't quarantine, which equals
+    # quarantine+reinstate) — through a per-dispatch-cost transport the
+    # big classify executable is the dominant per-frame cost. Streak
+    # semantics survive exactly as in the chunked stride (confirmation
+    # needs 2 CLASSIFIED dynamic frames -> up to 2N wall frames).
+    # 1 = classify every frame (round-3 behavior).
     min_pairs_for_model: int = 20
     box_center_margin: Tuple[float, float] = (0.2, 0.8)   # ref :818
     max_object_depth: float = 20.0         # ref :853

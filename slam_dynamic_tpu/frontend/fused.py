@@ -532,7 +532,7 @@ def fused_track_prebuilt(
     jax.jit,
     static_argnames=("orb_cfg", "height", "width", "sensor",
                      "max_kf", "max_lm", "n_levels", "n_slots", "n_hyp",
-                     "depth_stride"))
+                     "depth_stride", "classify"))
 def fused_track_step_dyn(
         m: MapState, cam: Intrinsics, bounds, image, aux,
         boxes, box_active, box_status, ref_fd: FrameData, have_ref,
@@ -542,7 +542,7 @@ def fused_track_step_dyn(
         min_inliers_track, seed,
         sensor: str = "rgbd", max_kf: int = 16, max_lm: int = 4096,
         n_levels: int = 8, n_slots: int = 0, n_hyp: int = 256,
-        depth_scale=None, depth_stride: int = 1):
+        depth_scale=None, depth_stride: int = 1, classify: bool = True):
     """Dynamic-scene variant: frame build + H/F box classification +
     feature reinstatement + tracking, still ONE device call.
 
@@ -550,6 +550,14 @@ def fused_track_step_dyn(
     current belief (streak bookkeeping stays on host); fresh verdicts are
     returned in the packet tail for the host to update streaks.
     Returns (FusedOut, verdicts [B]).
+
+    classify=False (the per-frame classify_every stride's skip frames):
+    the H/F RANSAC section — the bulk of this executable, and through a
+    per-dispatch-cost transport the dominant per-frame price — is
+    omitted; verdicts come back 0 (the host streak logic ignores them)
+    while the per-box 3D state (depth + OBB) still updates EVERY frame,
+    keeping the reference's per-frame parity (Tracking.cc:809-881). The
+    packet layout is identical to the classifying variant.
     """
     from .dynamics_ops import classify_boxes
     fd = build_frame_data(cam, image, aux, boxes,
@@ -557,15 +565,20 @@ def fused_track_step_dyn(
                           height, width, scale_factor, sensor,
                           n_slots=n_slots, depth_scale=depth_scale,
                           depth_stride=depth_stride)
-    # `seed` is a FIXED device constant (uploading a fresh per-frame seed
-    # costs an h2d tunnel trip); per-frame RANSAC sampling variation is
-    # derived on device from the pose, which changes every frame
-    seed = seed + (jnp.abs(t_last) * 8388608.0).sum().astype(jnp.int32) \
-        + (jnp.abs(R_last) * 65536.0).sum().astype(jnp.int32)
-    # geometric reclassification vs the reference frame (when available)
-    v = classify_boxes(cam, ref_fd, fd, boxes, box_active, n_hyp=n_hyp,
-                       seed=seed)
-    verdict = jnp.where(have_ref > 0, v.verdict, jnp.zeros_like(v.verdict))
+    if classify:
+        # `seed` is a FIXED device constant (uploading a fresh per-frame
+        # seed costs an h2d tunnel trip); per-frame RANSAC sampling
+        # variation is derived on device from the pose, which changes
+        # every frame
+        seed = seed + (jnp.abs(t_last) * 8388608.0).sum().astype(jnp.int32) \
+            + (jnp.abs(R_last) * 65536.0).sum().astype(jnp.int32)
+        # geometric reclassification vs the reference frame (if available)
+        v = classify_boxes(cam, ref_fd, fd, boxes, box_active, n_hyp=n_hyp,
+                           seed=seed)
+        verdict = jnp.where(have_ref > 0, v.verdict,
+                            jnp.zeros_like(v.verdict))
+    else:
+        verdict = jnp.zeros_like(box_status)
     # reinstate features inside boxes that are (or just became) static,
     # unless already confirmed dynamic by the host streak logic
     static_now = box_active & (box_status != 2) & \

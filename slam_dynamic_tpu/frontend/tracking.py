@@ -260,7 +260,8 @@ class Tracker:
                 dyn["box_status"], dyn["ref_fd"], dyn["have_ref"],
                 last_ids, R_last, t_last, R_prev2, t_prev2, has_vel,
                 self._ref_kf_const(),
-                seed=dyn["seed"], depth_scale=depth_scale, **common)
+                seed=dyn["seed"], depth_scale=depth_scale,
+                classify=dyn.get("classify", True), **common)
         self._prev2_pose = (R_last, t_last)
         frame = Frame(data=out.fd, frame_id=frame_id, timestamp=timestamp,
                       boxes=boxes, ref_kf=ref_k,

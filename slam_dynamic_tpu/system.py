@@ -192,7 +192,7 @@ class System:
         boxes, bvalid = self._active_boxes()
         if mask is None:
             # fused fast path (one device call per frame, dynamics fused in)
-            dyn = self._dyn_args(timestamp)
+            dyn = self._dyn_args(timestamp, stride=True)
             if dyn is not None and len(self.boxes.boxes):
                 # classification must keep seeing ALL boxes (a box can move
                 # 1 -> 2 when it starts moving); status gating happens
@@ -229,7 +229,7 @@ class System:
         if prefetch_next is not None and self.tracker.state == "OK":
             self.tracker.prefetch(*prefetch_next)
         boxes, bvalid = self._active_boxes()
-        dyn = self._dyn_args(timestamp)
+        dyn = self._dyn_args(timestamp, stride=True)
         if dyn is not None and len(self.boxes.boxes):
             boxes = self.boxes.boxes
             bvalid = np.ones(len(boxes), bool)
@@ -304,11 +304,28 @@ class System:
         self.frame_id += 1
         return st
 
-    def _dyn_args(self, timestamp: float):
+    def _dyn_args(self, timestamp: float, stride: bool = False):
         """Inputs for the fused dynamic-classification step (None when the
-        dynamics module is off or the tracker is not yet OK)."""
+        dynamics module is off or the tracker is not yet OK).
+
+        stride=True (per-frame callers): apply cfg.dynamic.classify_every
+        — skip frames get classify=False, dispatching the LIGHT dyn
+        executable (tracking + per-box 3D state, NO H/F RANSAC section —
+        the bulk of the classifying executable and, through a
+        per-dispatch-cost transport, the dominant per-frame price).
+        Verdicts/streaks lag to the next classified frame; the per-box
+        depth/OBB still updates every frame (reference parity,
+        Tracking.cc:809-881). Runs with zero tracked boxes return None —
+        a dynamic-MODE run of a static scene never pays any dyn
+        executable at all."""
         if self.dynamics is None or self.tracker.state != "OK":
             return None
+        classify = True
+        if stride:
+            if len(self.boxes.boxes) == 0:
+                return None
+            ce = self.cfg.dynamic.classify_every
+            classify = not (ce > 1 and self.frame_id % ce != 0)
         import jax.numpy as jnp
         B = self.cfg.dynamic.max_boxes
         status = np.zeros(B, np.int32)
@@ -326,7 +343,8 @@ class System:
             self._dyn_consts = cached = (
                 key, jnp.asarray(status), jnp.int32(self.cfg.seed))
         return dict(ref_fd=ref_fd, have_ref=have_ref,
-                    box_status=cached[1], seed=cached[2])
+                    box_status=cached[1], seed=cached[2],
+                    classify=classify)
 
     def _dyn_after(self, st, timestamp: float):
         if self.dynamics is None:
