@@ -280,6 +280,19 @@ def main():
 
     warm_cfg = cfg.replace(tracking=dataclasses.replace(
         cfg.tracking, max_frames_between_kf=3))
+    if args.dynamic:
+        # a dynamic-MODE frame whose box tracker is EMPTY (object out of
+        # view) dispatches the STATIC fused_track_step (system._dyn_args
+        # returns None) — compile it too, on a throwaway System, or it
+        # lands mid-window (measured: one 19.4 s straggler frame)
+        s0 = System(warm_cfg)
+        for i in range(min(4, scfg.n_frames)):
+            if args.stereo:
+                s0.track_stereo(gray8[i], aux8[i], float(seq.timestamps[i]))
+            else:
+                s0.track_rgbd(gray8[i], aux8[i], float(seq.timestamps[i]))
+        del s0
+        _log("static-step executable warmed (dynamic mode)")
     sys_ = System(warm_cfg)
     n_warm = min(10, scfg.n_frames - 1)
     _log(f"warmup: {n_warm} frames (compiles all jit units; cache dir "
@@ -290,6 +303,7 @@ def main():
     # restore real cadence for the timed window (read live per-frame)
     sys_.cfg = cfg
     sys_.tracker.cfg = cfg
+    _warm_loop_detect(sys_, _log)
 
     _log("timed window start")
     t0 = time.time()
@@ -342,6 +356,24 @@ def main():
     return 0
 
 
+def _warm_loop_detect(sys_, _log):
+    """Compile-warm the loop-detection graph: its first REAL invocation
+    is at keyframe k >= 10, typically inside the timed window — through
+    the tunnel that lands a multi-second compile straggler on one frame
+    (measured: max 2.2 s). One dummy call compiles the same executable."""
+    if sys_.loop is None:
+        return
+    import jax.numpy as jnp
+    from slam_dynamic_tpu.backend.loop_closing import _detect_device
+    from slam_dynamic_tpu.models import vocabulary as voc_mod
+    m = sys_.tracker.map
+    bv = voc_mod.transform(sys_.voc, m.kf_kp_desc[0], m.kf_kp_valid[0])
+    sb = voc_mod.sparse_bow(bv, top_w=sys_.loop.db.word.shape[1])
+    np.asarray(_detect_device(sys_.loop.db, sb, m.covis, m.kf_valid,
+                              jnp.int32(0)))
+    _log("loop-detect graph warmed")
+
+
 def _run_chunk(args, scfg, seq, gray8, aux8, cfg, _log, cpu_fallback=False):
     """Temporal-chunking throughput: C consecutive frames per device call
     (Tracker.step_images_chunk) — ONE upload + ONE packed [C, 28]
@@ -386,20 +418,7 @@ def _run_chunk(args, scfg, seq, gray8, aux8, cfg, _log, cpu_fallback=False):
         max_frames_between_kf=cfg.tracking.max_frames_between_kf))
     sys_.cfg = real_cfg
     sys_.tracker.cfg = real_cfg
-    # compile-warm the loop-detection graph: its first REAL invocation is
-    # at keyframe k >= 10, typically inside the timed window — through
-    # the tunnel that lands a multi-second compile straggler on one chunk
-    # (measured: max 2.2 s). One dummy call compiles the same executable.
-    if sys_.loop is not None:
-        import jax.numpy as jnp
-        from slam_dynamic_tpu.backend.loop_closing import _detect_device
-        from slam_dynamic_tpu.models import vocabulary as voc_mod
-        m = sys_.tracker.map
-        bv = voc_mod.transform(sys_.voc, m.kf_kp_desc[0], m.kf_kp_valid[0])
-        sb = voc_mod.sparse_bow(bv, top_w=sys_.loop.db.word.shape[1])
-        np.asarray(_detect_device(sys_.loop.db, sb, m.covis, m.kf_valid,
-                                  jnp.int32(0)))
-        _log("loop-detect graph warmed")
+    _warm_loop_detect(sys_, _log)
     _log("timed window start")
     t0 = time.time()
     with _progress_lock:
