@@ -92,7 +92,11 @@ class DynamicsModule:
         if box3d is None or len(boxes.boxes) == 0:
             return
         W = self.cfg.camera.width
-        cam = self.cam
+        # host floats from config, NOT self.cam: the device Intrinsics'
+        # fields are jnp scalars, and mixing them into this host math
+        # makes np.array() below fetch THREE fresh device values per box
+        # — ~220 ms/frame through the tunnel (measured, cProfile round 4)
+        cam = self.cfg.camera
         for i in range(min(len(boxes.boxes), box3d.shape[0])):
             if boxes.status[i] != 2:
                 continue
