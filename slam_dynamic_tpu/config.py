@@ -92,6 +92,14 @@ class TrackingConfig:
     # the TPU tunnel 24.3 fps / 4.98 mm ATE (eager) vs 30.23 fps /
     # 5.94 mm (overlapped) — the default stays overlapped (real-time
     # budget first); flip on for accuracy-critical offline runs.
+    chunk_eager_upload_first: bool = True  # eager-finalize variant: ISSUE
+    # the next chunk's image-stack h2d before the previous chunk's
+    # blocking packet readback (map/pose/keyframe snapshots still happen
+    # after the finalize, so the dispatch sees the updated map exactly
+    # like plain eager). A full-duplex transport streams the upload
+    # under the finalize, recovering part of the overlap eager gives up;
+    # a strictly serialized transport makes it a no-op (same total).
+    # Only consulted when chunk_eager_finalize=True.
     depth_stride: int = 1                  # upload every Nth depth pixel
     # (rgbd fused path): depth is only sampled at keypoints, so stride 2
     # quarters the depth h2d bytes for ~nearest-pixel sampling error;
@@ -135,14 +143,16 @@ class DynamicConfig:
     # (Tracking.cc:1213-1226), so the streak semantics survive at half
     # rate — and the fused classification is the chunk's dominant device
     # cost. 1 = classify every frame.
-    classify_every: int = 2                # per-frame pipeline: classify on
-    # every Nth frame; skip frames dispatch the SMALL static executable
-    # (status-1 boxes simply don't quarantine, which equals
-    # quarantine+reinstate) — through a per-dispatch-cost transport the
-    # big classify executable is the dominant per-frame cost. Streak
-    # semantics survive exactly as in the chunked stride (confirmation
-    # needs 2 CLASSIFIED dynamic frames -> up to 2N wall frames).
-    # 1 = classify every frame (round-3 behavior).
+    classify_every: int = 1                # per-frame pipeline: classify on
+    # every Nth frame; skip frames dispatch the LIGHT dyn executable
+    # (fused_track_step_dyn with classify=False — the static executable
+    # only runs when the box tracker is empty, see system._dyn_args) —
+    # through a per-dispatch-cost transport the classify executable is
+    # the dominant per-frame cost. Streak semantics survive at stride N
+    # (confirmation needs 2 CLASSIFIED dynamic frames -> up to 2N wall
+    # frames), but the LIBRARY default matches the reference, which
+    # classifies every frame (ref Tracking.cc:968-1367); throughput-
+    # oriented callers (bench.py --dynamic) opt into stride 2.
     min_pairs_for_model: int = 20
     box_center_margin: Tuple[float, float] = (0.2, 0.8)   # ref :818
     max_object_depth: float = 20.0         # ref :853

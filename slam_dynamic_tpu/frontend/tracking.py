@@ -326,7 +326,10 @@ class Tracker:
         from .fused import fused_track_chunk, fused_track_chunk_dyn
         cfg = self.cfg
         sts = []
-        if cfg.tracking.chunk_eager_finalize:
+        eager = cfg.tracking.chunk_eager_finalize
+        upload_first = eager and cfg.tracking.chunk_eager_upload_first
+
+        def _finalize_prev():
             # finalize the PREVIOUS chunk before dispatching this one: a
             # keyframe triggered inside it reaches the map now, so this
             # chunk tracks against it (decision lag C-j, not 2C-j). Costs
@@ -338,7 +341,12 @@ class Tracker:
                 sts.append(self._finalize_one())
                 if self.state != "OK":
                     self._pending.clear()
-                    return sts
+                    return False
+            return True
+
+        if eager and not upload_first:
+            if not _finalize_prev():
+                return sts
         dc = self._scalar_consts()
         C = len(frames)
         H, W = frames[0][0].shape
@@ -376,6 +384,16 @@ class Tracker:
                     jnp.full((C, B, 4), -1.0, jnp.float32),
                     jnp.zeros((C, B), bool))
             bx_stack, ba_stack = self._dev_consts[key]
+
+        if upload_first:
+            # eager variant (upload-first): the image/box stacks' h2d was
+            # ISSUED above, so a full-duplex transport streams it while
+            # the blocking packet readback below drains the previous
+            # chunk. Map, poses, ref-KF and last-frame snapshots are read
+            # AFTER the finalize — the dispatch sees the updated map
+            # exactly as in plain eager mode.
+            if not _finalize_prev():
+                return sts
 
         last_ids = self.last_frame.obs_lm
         if last_ids is None:

@@ -115,6 +115,32 @@ def test_chunked_dynamic_scene():
 
 
 @pytest.mark.slow
+def test_chunk_eager_finalize_upload_first_equivalence():
+    """Eager finalize (previous chunk reaches the map BEFORE the next
+    dispatch) in both orderings: upload-first (h2d issued before the
+    blocking packet readback — the transport-overlap variant) must
+    produce a BIT-IDENTICAL trajectory to plain eager, because only
+    host-side issue order changes, never the data the dispatch sees."""
+    import dataclasses
+    scfg = SynthConfig(n_frames=22, width=320, height=240, fx=260.0,
+                       fy=260.0, cx=159.5, cy=119.5)
+    seq = generate(scfg)
+    base = _cfg(scfg)
+    ests = []
+    for upload_first in (False, True):
+        cfg = base.replace(tracking=dataclasses.replace(
+            base.tracking, chunk_eager_finalize=True,
+            chunk_eager_upload_first=upload_first))
+        s, sts, est = _run_chunked(seq, cfg, C=4)
+        assert all(st.state == "OK" for st in sts)
+        ests.append(est)
+    assert ests[0].shape == ests[1].shape
+    np.testing.assert_array_equal(ests[0], ests[1])
+    ate = ate_rmse(ests[1], seq.t_wc[:len(ests[1])])
+    assert ate < 0.03
+
+
+@pytest.mark.slow
 def test_chunk_of_two_and_pipeline_lag_bookkeeping():
     scfg = SynthConfig(n_frames=20, width=320, height=240, fx=260.0,
                        fy=260.0, cx=159.5, cy=119.5)
