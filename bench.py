@@ -93,7 +93,10 @@ def _restore_jax_cache(_log):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--frames", type=int, default=120,
+                    help="sequence length (default 120: the per-chunk "
+                         "transport cost varies ~2x by time window — a "
+                         "longer timed window averages over it)")
     ap.add_argument("--ate", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--pipeline", action=argparse.BooleanOptionalAction,
@@ -294,11 +297,15 @@ def main():
         # no-args default: temporal chunking at C=6 — the measured-best
         # single-sequence mode through the axon tunnel (RESULTS.md:
         # 36.9 fps vs 24.6 at C=4 and 34.9 at C=8; ATE 22.7 mm).
-        # DYNAMIC scenes default to the per-frame pipeline: the fused
-        # H/F classification is device-compute-bound (chunking can't
-        # amortize it) and the one-chunk verdict lag costs ATE
-        # (measured: 9.9-12.3 fps chunked vs 14.4-18 per-frame)
-        args.chunk = 0 if (args.multi or args.dynamic) else 6
+        # DYNAMIC scenes also default to chunking since round 5: with
+        # the chunked classify stride (classify_every_chunked=2) the
+        # dyn chunk costs only ~98 ms more than the static chunk
+        # (tools/chunk_dyn_probe.py) — same-window 120-frame pair:
+        # 24.1 fps / 13.7 mm chunked vs 20.5 fps / 12.1 mm per-frame.
+        # The r3 negative result (chunking loses on dynamic scenes)
+        # predates the stride and the matmul-precision fix; pass
+        # --chunk 1 for the per-frame latency-oriented pipeline.
+        args.chunk = 0 if args.multi else 6
     if args.multi and args.multi > 1:
         return _run_multi(args, scfg, seq, gray8, aux8, cfg, _log,
                           cpu_fallback)

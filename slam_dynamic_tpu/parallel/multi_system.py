@@ -449,13 +449,27 @@ class MultiSystem:
         if self.pipeline:
             prev, self._pending = self._pending, step
             if prev is not None:
-                fin = self._finalize_any(prev)
-                sts.extend(st for row in fin for st in row
-                           if st is not None)
+                # prev may be a "frame" step (a flat [B] row — the lane
+                # bootstrap runs per-frame batches through the same
+                # pipeline slot) or a "chunk" step ([C][B] rows)
+                sts.extend(self._flat_stats(self._finalize_any(prev)))
             return sts
-        fin = self._finalize_any(step)
-        sts.extend(st for row in fin for st in row if st is not None)
+        sts.extend(self._flat_stats(self._finalize_any(step)))
         return sts
+
+    @staticmethod
+    def _flat_stats(fin):
+        """Flatten finalize output — [B] (frame step) or [C][B] (chunk
+        step) — into a flat TrackStats list, dropping Nones."""
+        out = []
+        for row in fin:
+            if row is None:
+                continue
+            if isinstance(row, list):
+                out.extend(st for st in row if st is not None)
+            else:
+                out.append(row)
+        return out
 
     def _finalize_chunk(self, step):
         """Finalize a chunk step: ONE [B, C, 28+] readback, then the

@@ -147,6 +147,37 @@ def test_multi_system_dp_sharded():
 
 
 @pytest.mark.slow
+def test_multi_system_chunked_cold_start():
+    """bench.py --multi N --chunk C drives chunk_batch from frame 0 with
+    pipeline=True and NO explicit per-frame bootstrap: non-OK lanes make
+    the chunk fall back to per-frame batched steps, queuing a "frame"
+    step in the pipeline slot that the first real chunk call must then
+    finalize (a flat [B] row, not [C][B] rows — regression: r5 bench
+    crashed on 'TrackStats object is not iterable')."""
+    seqs = [generate(SynthConfig(**BASE, seed=s)) for s in (0, 3)]
+    scfg = SynthConfig(**BASE)
+    T = seqs[0].gray.shape[0]
+    C = 3
+    ms = MultiSystem(_cfg(scfg), n=len(seqs), pipeline=True)
+    i, n_stats = 0, 0
+    while i + C <= T:
+        sts = ms.track_rgbd_chunk_batch(
+            [[seq.gray[i + j] for j in range(C)] for seq in seqs],
+            [[seq.depth[i + j] for j in range(C)] for seq in seqs],
+            [[float(seq.timestamps[i + j]) for j in range(C)]
+             for seq in seqs])
+        assert all(hasattr(st, "state") for st in sts), sts
+        n_stats += len(sts)
+        i += C
+    ms.flush()
+    assert n_stats > 0
+    for b, seq in enumerate(seqs):
+        assert ms.systems[b].tracker.state == "OK"
+        est = _est(ms.systems[b].trajectory)
+        ate = ate_rmse(est, seq.t_wc[:len(est)], align=False)
+        assert ate < 0.06, (b, ate)
+
+
 def test_multi_system_chunked():
     """B lanes x C frames per device call (fused_track_chunk_batch): the
     serving composition of lane batching and temporal chunking. Each

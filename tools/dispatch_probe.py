@@ -91,12 +91,17 @@ def main():
             np.float32))
     act = jnp.asarray(np.arange(cfg.dynamic.max_boxes) < 1)
 
+    # build_frame_data is a plain function (normally inlined INTO the
+    # fused jits) — jit it here or this stage times eager op-by-op
+    # dispatch through the tunnel (measured: 2.5 s/call of pure
+    # per-op latency, a methodology artifact, not a dispatch cost)
+    bfd = jax.jit(lambda im, ax, ds: build_frame_data(
+        cam, im, ax, boxes, act, ocfg, H, W, cfg.orb.scale_factor,
+        "rgbd", n_slots=nslots, depth_scale=ds))
+
     def fd_of(i):
-        return build_frame_data(cam, jnp.asarray(gray8[i]),
-                                jnp.asarray(d16[i]), boxes, act, ocfg,
-                                H, W, cfg.orb.scale_factor, "rgbd",
-                                n_slots=nslots,
-                                depth_scale=jnp.float32(1e-3))
+        return bfd(jnp.asarray(gray8[i]), jnp.asarray(d16[i]),
+                   jnp.float32(1e-3))
     ref_fd = fd_of(0)
     jax.block_until_ready(ref_fd)
 

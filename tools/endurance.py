@@ -36,11 +36,38 @@ def main():
                          "sliding-window eviction path instead")
     ap.add_argument("--window", type=int, default=200,
                     help="frames per stats window")
+    ap.add_argument("--pipeline", type=int, default=1,
+                    help="pipeline_depth (1 = overlap readback with next "
+                         "dispatch, the bench per-frame default; 0 = sync)")
     args = ap.parse_args()
 
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__), "..",
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    # count XLA compilations so the run can prove steady state: after the
+    # first window every executable must be compiled — a nonzero count
+    # later means a shape/dtype leak retracing the hot path
+    import logging
+
+    class _CompileCounter(logging.Handler):
+        def __init__(self):
+            super().__init__()
+            self.count = 0
+
+        def emit(self, record):
+            if "Compiling" in record.getMessage():
+                self.count += 1
+
+    _cc = _CompileCounter()
+    jax.config.update("jax_log_compiles", True)
+    logging.getLogger("jax").addHandler(_cc)
     import numpy as np
 
     from slam_dynamic_tpu.config import (SystemConfig, CameraConfig,
@@ -73,13 +100,15 @@ def main():
                                 local_ba_landmarks=2048),
         sensor="rgbd")
     cfg = cfg.replace(tracking=dataclasses.replace(
-        cfg.tracking, max_frames_between_kf=8))
+        cfg.tracking, max_frames_between_kf=8,
+        pipeline_depth=args.pipeline))
     sys_ = System(cfg)
 
     gray8 = np.clip(seq.gray, 0, 255).astype(np.uint8)
     d16 = np.clip(seq.depth * 1000.0, 0, 65535).astype(np.uint16)
     windows = []
     lost = loops = 0
+    compiles_at_warmup = None
     tw = time.time()
     for i in range(args.frames):
         st = sys_.track_rgbd(gray8[i], d16[i], float(seq.timestamps[i]))
@@ -93,11 +122,16 @@ def main():
             tw = time.time()
             t = sys_.tracker
             rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+            if compiles_at_warmup is None:
+                # end of window 1 = warmup boundary: every executable the
+                # steady state touches must exist by now
+                compiles_at_warmup = _cc.count
             w = dict(frame=i + 1, fps=round(args.window / dt, 2),
                      rss_mb=rss, kf_seq=t.kf_seq,
                      kf_live=int(np.asarray(t.map.kf_valid).sum()),
                      lm_live=int(np.asarray(t.map.lm_valid).sum()),
-                     loops=loops, lost=lost)
+                     loops=loops, lost=lost,
+                     compiles=_cc.count)
             windows.append(w)
             print(f"[endurance] {json.dumps(w)}", file=sys.stderr)
 
@@ -111,7 +145,9 @@ def main():
                fps_first=fps_all[0], fps_last=fps_all[-1],
                fps_drift=round(fps_all[-1] / max(fps_all[0], 1e-9), 3),
                rss_first_mb=windows[0]["rss_mb"],
-               rss_last_mb=windows[-1]["rss_mb"])
+               rss_last_mb=windows[-1]["rss_mb"],
+               compiles_total=_cc.count,
+               compiles_after_warmup=_cc.count - (compiles_at_warmup or 0))
     print(json.dumps(out))
     return 0
 
