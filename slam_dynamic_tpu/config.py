@@ -88,10 +88,12 @@ class TrackingConfig:
     # previous chunk (readback + keyframe insertion) BEFORE dispatching
     # the next one, so a keyframe triggered inside chunk N reaches the
     # map for chunk N+1 instead of chunk N+2 — decision lag C-j instead
-    # of 2C-j frames. Costs the readback/compute overlap: measured on
-    # the TPU tunnel 24.3 fps / 4.98 mm ATE (eager) vs 30.23 fps /
-    # 5.94 mm (overlapped) — the default stays overlapped (real-time
-    # budget first); flip on for accuracy-critical offline runs.
+    # of 2C-j frames. Costs part of the readback/compute overlap:
+    # measured on the TPU tunnel (r5, with chunk_eager_upload_first)
+    # 30.4 fps / 4.98 mm ATE@60f (eager) vs 36.3 fps / 5.94 mm
+    # (overlapped) — the default stays overlapped (throughput headroom
+    # first); flip on for accuracy-critical runs, it now clears the
+    # 30 fps budget too.
     chunk_eager_upload_first: bool = True  # eager-finalize variant: ISSUE
     # the next chunk's image-stack h2d before the previous chunk's
     # blocking packet readback (map/pose/keyframe snapshots still happen
