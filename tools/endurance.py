@@ -36,6 +36,14 @@ def main():
                          "sliding-window eviction path instead")
     ap.add_argument("--window", type=int, default=200,
                     help="frames per stats window")
+    ap.add_argument("--prewarm-recovery",
+                    action=argparse.BooleanOptionalAction, default=True,
+                    help="compile the LOST->reloc path on a throwaway "
+                         "System before the timed loop")
+    ap.add_argument("--trace", type=int, nargs=2, default=None,
+                    metavar=("FROM", "TO"),
+                    help="log per-frame state/inliers for frames in "
+                         "[FROM, TO) — failure-window diagnosis")
     ap.add_argument("--pipeline", type=int, default=1,
                     help="pipeline_depth (1 = overlap readback with next "
                          "dispatch, the bench per-frame default; 0 = sync)")
@@ -106,6 +114,34 @@ def main():
 
     gray8 = np.clip(seq.gray, 0, 255).astype(np.uint8)
     d16 = np.clip(seq.depth * 1000.0, 0, 65535).astype(np.uint16)
+
+    if args.prewarm_recovery:
+        # compile the LOST->relocalization path BEFORE the timed loop: a
+        # long run's first loss otherwise pays multi-second first-hit
+        # compiles mid-window (measured r5: 24 post-warmup compiles, fps
+        # window dip 19.8 -> 3.8 at the first loss). A throwaway System
+        # tracks a few real frames, then textureless frames force LOST +
+        # reloc attempts, then real frames compile the recovery-success
+        # path; shapes match the main run (same config/capacities).
+        t0p = time.time()
+        s0 = System(cfg.replace(tracking=dataclasses.replace(
+            cfg.tracking, max_frames_between_kf=3)))
+        blank_g = np.zeros_like(gray8[0])
+        blank_d = np.zeros_like(d16[0])
+        k = 0
+        for i in range(10):
+            s0.track_rgbd(gray8[i], d16[i], float(seq.timestamps[i]))
+            k += 1
+        for _ in range(3):
+            s0.track_rgbd(blank_g, blank_d,
+                          float(seq.timestamps[k])); k += 1
+        for i in range(10, 16):
+            s0.track_rgbd(gray8[i], d16[i], float(seq.timestamps[k]))
+            k += 1
+        del s0
+        print(f"[endurance] recovery path prewarmed "
+              f"({time.time() - t0p:.0f}s, compiles so far {_cc.count})",
+              file=sys.stderr)
     windows = []
     lost = loops = 0
     compiles_at_warmup = None
@@ -113,6 +149,12 @@ def main():
     for i in range(args.frames):
         st = sys_.track_rgbd(gray8[i], d16[i], float(seq.timestamps[i]))
         lost += st.state == "LOST"
+        if args.trace and args.trace[0] <= i < args.trace[1]:
+            t = sys_.tracker
+            print(f"[trace] f={i} fin={st.frame_id} st={st.state} "
+                  f"mm={st.n_inliers_mm} map={st.n_inliers_map} "
+                  f"kf={int(st.is_keyframe)} tracker={t.state} "
+                  f"n_kf={t.n_kf_host}", file=sys.stderr)
         ll = getattr(sys_, "last_loop", None)
         if ll and ll.closed:
             loops += 1
