@@ -221,6 +221,63 @@ class LoopCloser:
         return m, result
 
     # ------------------------------------------------------------------
+    def on_relocalization(self, m: MapState, k_last: int, cand: int,
+                          stereo: bool, seq: int = None
+                          ) -> tuple[MapState, LoopResult]:
+        """Drift correction on relocalization (beyond-reference feature).
+
+        The reference's Relocalization (src/Tracking.cc:2212-2373) snaps
+        the TRACKER onto old keyframes but never touches the map: keyframes
+        and landmarks created during the drifted approach keep their
+        drifted poses, so the trajectory keeps a jump and the local map
+        stays self-inconsistent (old + drifted-duplicate landmarks),
+        which is exactly the inlier-decay -> LOST failure the slow-revisit
+        endurance trace records (RESULTS.md r5). A successful
+        relocalization IS a verified loop observation — the lost tracker
+        matched old keyframe `cand` — so here we close it explicitly:
+        solve the relative Sim3 between the last pre-loss keyframe
+        `k_last` (whose observations are the drifted duplicates) and
+        `cand` (the trusted old view) with the standard loop machinery
+        (ref ComputeSim3 :232-402 gates unchanged), then run the
+        essential-graph correction + SearchAndFuse (ref CorrectLoop
+        :403-587). The normal on_keyframe detector cannot fire here
+        because the gradual approach made cand covisible with k_last
+        (fused landmarks) before BoW could nominate it — the reference's
+        own candidate gate (KeyFrameDatabase.cc:76-198) excludes it.
+
+        No-ops (returns m unchanged) when the Sim3 verification fails or
+        when the measured correction is below noise (nothing to fix)."""
+        result = LoopResult()
+        cfg = self.cfg.loop
+        if not (cfg.enabled and cfg.reloc_correction) or k_last < 0 \
+                or cand < 0 or cand == k_last \
+                or not bool(m.kf_valid[k_last]) or not bool(m.kf_valid[cand]):
+            return m, result
+        ok, s_rel, R_rel, t_rel, n_inl, n_total = self._compute_sim3(
+            m, k_last, cand, stereo)
+        if not ok:
+            return m, result
+        # skip when the measurement agrees with the current estimates
+        # within the Sim3 solver's noise floor — no drift to distribute,
+        # and a pose-graph run + landmark remap would only redistribute
+        # solver noise through a clean map
+        R_cur = np.asarray(m.kf_R[cand]) @ np.asarray(m.kf_R[k_last]).T
+        t_cur = np.asarray(m.kf_t[cand]) - R_cur @ np.asarray(m.kf_t[k_last])
+        dR = np.asarray(R_rel) @ R_cur.T
+        ang = float(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        dt = float(np.linalg.norm(np.asarray(t_rel) / max(float(s_rel), 1e-9)
+                                  - t_cur))
+        if ang < cfg.reloc_correction_min_rad \
+                and dt < cfg.reloc_correction_min_t \
+                and abs(float(s_rel) - 1.0) < cfg.reloc_correction_min_scale:
+            return m, result
+        m = self._correct(m, k_last, cand, s_rel, R_rel, t_rel)
+        m = self._search_and_fuse(m, k_last, cand)
+        if seq is not None:
+            self.last_loop_kf = seq
+        return m, LoopResult(True, cand, n_inl, n_total)
+
+    # ------------------------------------------------------------------
     def _detect(self, m: MapState, k: int, hist, seq: int = None) -> int:
         """BoW candidates excluding covisibles; consistency streak >= th
         (ref DetectLoop :104-231). ONE device call + ONE readback."""

@@ -89,8 +89,12 @@ def relocalize(m: MapState, db: kfdb_mod.KFDatabase, voc, cam, frame_data,
                min_inliers: int = 50, use_direct_index: bool = False,
                di_level: int = 2
                ) -> Tuple[bool, Optional[jnp.ndarray],
-                          Optional[jnp.ndarray], Optional[jnp.ndarray]]:
-    """Try to relocalize a lost frame. Returns (ok, R, t, obs_lm[N])."""
+                          Optional[jnp.ndarray], Optional[jnp.ndarray], int]:
+    """Try to relocalize a lost frame.
+
+    Returns (ok, R, t, obs_lm[N], cand_slot) — cand_slot is the keyframe
+    slot the successful candidate matched (-1 on failure); the caller can
+    treat it as a verified loop observation (LoopCloser.on_relocalization)."""
     bv = voc_mod.transform(voc, frame_data.desc, frame_data.valid,
                            di_level=di_level)
     hist = voc_mod.sparse_bow(bv, top_w=db.word.shape[1])
@@ -142,5 +146,5 @@ def relocalize(m: MapState, db: kfdb_mod.KFDatabase, voc, cam, frame_data,
             n_good = int(res.n_inliers)
         if n_good >= min_inliers:
             obs = jnp.where(res.inliers & ok_lm, lm, -1)
-            return True, res.R, res.t, obs
-    return False, None, None, None
+            return True, res.R, res.t, obs, int(k)
+    return False, None, None, None, -1

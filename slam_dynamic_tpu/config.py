@@ -211,6 +211,24 @@ class LoopConfig:
     # When on, the solve is AMORTIZED: gba_slice_iters GN iterations are
     # dispatched per subsequent frame, then merged (no frame-time spike).
     gba_slice_iters: int = 3
+    # correct map drift when relocalization succeeds (beyond-reference:
+    # the reference's Relocalization, src/Tracking.cc:2212, re-poses the
+    # tracker but leaves the drifted approach keyframes/landmarks in the
+    # map). A successful reloc is a verified loop observation: the last
+    # pre-loss keyframe vs the matched old keyframe go through the
+    # standard Sim3 verification + essential-graph correction +
+    # SearchAndFuse (backend/loop_closing.py:on_relocalization).
+    reloc_correction: bool = True
+    # act only when the measured Sim3 disagrees with the current estimates
+    # by more than the Sim3 solve's own noise floor — measured ~4 mm /
+    # ~1.4 mrad on a mature clean map and up to ~15 mm on a young
+    # (20-frame) map whose duplicate landmarks carry triangulation noise
+    # (tests/test_reloc_correction.py + the kidnap canary). Below the
+    # gate a pose-graph run would only redistribute solver noise; real
+    # slow-revisit drift is several cm (endurance trace, RESULTS.md r5)
+    reloc_correction_min_t: float = 0.02       # meters
+    reloc_correction_min_rad: float = 0.01     # radians
+    reloc_correction_min_scale: float = 0.005  # |s - 1| (mono only)
 
 
 @dataclass(frozen=True)

@@ -154,8 +154,14 @@ class Tracker:
         # recycled before its bookkeeping runs must store an ABSOLUTE
         # trajectory entry — the slot now holds an unrelated camera
         self.on_keyframe: Optional[Callable[[int], None]] = None
-        # optional relocalizer: frame -> (ok, R, t, obs_lm) (wired by System)
+        # optional relocalizer: frame -> (ok, R, t, obs_lm[, cand_slot])
+        # (wired by System; the 4-tuple form is accepted for test doubles)
         self.relocalizer: Optional[Callable] = None
+        # optional reloc-drift-correction hook (k_last_slot, cand_slot) ->
+        # None, invoked on relocalization success BEFORE tracking resumes
+        # so the corrected local map is what the tracker refines against
+        # (wired by System to LoopCloser.on_relocalization)
+        self.on_reloc: Optional[Callable[[int, int], None]] = None
         # perf knobs
         self._sf = float(cfg.orb.scale_factor)
         self._kf_pose_cache = {}
@@ -822,12 +828,25 @@ class Tracker:
     # ------------------------------------------------------------------
     def _relocalize_then_track(self, frame: Frame) -> TrackStats:
         if self.relocalizer is not None:
-            ok, R, t, obs = self.relocalizer(frame)
+            res = self.relocalizer(frame)
+            ok, R, t, obs = res[:4]
+            cand = int(res[4]) if len(res) > 4 else -1
             if ok:
                 frame.R, frame.t = R, t
                 frame.obs_lm = obs
                 self.velocity = None
                 self._lost_streak = 0
+                # drift correction: a successful reloc is a verified loop
+                # observation between the last pre-loss keyframe and the
+                # matched candidate — close it BEFORE resuming so the
+                # local map the tracker refines against is consistent
+                # (the reference leaves the drifted approach keyframes in
+                # the map, src/Tracking.cc:2212-2373; see
+                # LoopCloser.on_relocalization)
+                if self.on_reloc is not None and cand >= 0 \
+                        and self.last_kf_id >= 0 \
+                        and not self.localization_only:
+                    self.on_reloc(self.last_kf_id, cand)
                 # resume as if motion-model frame: refine on local map
                 self.last_frame = frame
                 self.state = "OK"
@@ -1006,7 +1025,8 @@ class Tracker:
             # the motion-model pose only when relocalization fails
             relocated = False
             if self.vo_mode and self.relocalizer is not None:
-                ok, Rr, tr, obs = self.relocalizer(frame)
+                # (vo/localization mode: map frozen, no drift correction)
+                ok, Rr, tr, obs = self.relocalizer(frame)[:4]
                 if ok:
                     frame.R = jnp.asarray(np.asarray(Rr, np.float32))
                     frame.t = jnp.asarray(np.asarray(tr, np.float32))

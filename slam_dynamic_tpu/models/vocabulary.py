@@ -52,10 +52,22 @@ class Vocabulary(NamedTuple):
 # training (host/numpy: one-off offline step)
 # ----------------------------------------------------------------------------
 
-def _hamming_np(a, b):
-    """[N,8]x[M,8] uint32 -> [N,M] int popcount distances (numpy)."""
-    x = np.bitwise_xor(a[:, None, :], b[None, :, :])
-    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _hamming_np(a, b, block=1 << 16):
+    """[N,8]x[M,8] uint32 -> [N,M] int popcount distances (numpy).
+
+    Popcount via byte LUT, blocked over N: the naive unpackbits form
+    materializes [N, M, 256] bytes — 7+ GB at the corpus sizes a trained
+    10^6-word tree needs (root k-medians over ~3M descriptors)."""
+    if len(a) <= block:
+        x = np.bitwise_xor(a[:, None, :], b[None, :, :]).view(np.uint8)
+        return _POPCNT8[x].sum(-1, dtype=np.int32)
+    out = np.empty((len(a), len(b)), np.int32)
+    for i in range(0, len(a), block):
+        out[i:i + block] = _hamming_np(a[i:i + block], b, block)
+    return out
 
 
 def _bit_vote_mean(desc):

@@ -61,6 +61,7 @@ class System:
             self.voc = voc_mod.load(cfg.vocabulary.path)
         self.tracker.on_keyframe = self._on_keyframe
         self.tracker.relocalizer = self._relocalize
+        self.tracker.on_reloc = self._on_reloc
         # dense point-cloud mapping owned by the System, as the reference's
         # PointCloudMapping is (System.cc:84-85, SavePCD :430)
         self.dense = None
@@ -121,9 +122,36 @@ class System:
             self.tracker._kf_pose_cache.clear()
             self._gba = None
 
+    def _on_reloc(self, k_last: int, cand: int):
+        """Reloc-triggered drift correction (tracker.on_reloc hook): a
+        successful relocalization verified a loop between the last
+        pre-loss keyframe and the matched candidate; close it through the
+        standard machinery (LoopCloser.on_relocalization) and, like a
+        detector-found closure, trigger the amortized post-loop GBA."""
+        if self.loop is None:
+            return
+        stereo = self.cfg.sensor in ("stereo", "rgbd")
+        m, result = self.loop.on_relocalization(
+            self.tracker.map, k_last, cand, stereo, seq=self.tracker.kf_seq)
+        if result.closed:
+            self.tracker.map = m
+            self.tracker._kf_pose_cache.clear()
+            self.last_loop = result
+            # own counter: last_loop can be overwritten by the next
+            # keyframe's (non-closed) LoopResult before a caller polls it
+            self.n_reloc_corrections = getattr(
+                self, "n_reloc_corrections", 0) + 1
+            if self.cfg.loop.run_global_ba:
+                from .backend.global_ba import AmortizedGBA
+                self._gba = AmortizedGBA(
+                    m, self.cam, stereo=stereo,
+                    total_iters=self.cfg.optimizer.global_ba_iters,
+                    slice_iters=self.cfg.loop.gba_slice_iters,
+                    scale_factor=self.cfg.orb.scale_factor)
+
     def _relocalize(self, frame):
         if self.loop is None:
-            return False, None, None, None
+            return False, None, None, None, -1
         from .backend import relocalization
         return relocalization.relocalize(
             self.tracker.map, self.loop.db, self.voc, self.cam, frame.data,
@@ -519,6 +547,7 @@ class System:
                                                               "rgbd"))
         self.tracker.on_keyframe = self._on_keyframe
         self.tracker.relocalizer = self._relocalize
+        self.tracker.on_reloc = self._on_reloc
         if self.loop is not None:
             from .backend.loop_closing import LoopCloser
             self.loop = LoopCloser(self.cfg, self.cam, self.voc)

@@ -184,6 +184,7 @@ def main():
     out = dict(frames=args.frames, ate_m=round(float(ate), 4),
                kf_seq=sys_.tracker.kf_seq,
                kf_capacity=args.max_kf, loops=loops, lost=lost,
+               reloc_corrections=getattr(sys_, "n_reloc_corrections", 0),
                fps_first=fps_all[0], fps_last=fps_all[-1],
                fps_drift=round(fps_all[-1] / max(fps_all[0], 1e-9), 3),
                rss_first_mb=windows[0]["rss_mb"],

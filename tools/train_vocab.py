@@ -29,18 +29,27 @@ from slam_dynamic_tpu.io.synthetic import SynthConfig, generate  # noqa: E402
 from slam_dynamic_tpu.models import vocabulary as voc_mod  # noqa: E402
 
 
-def build_corpus(frames_per_seq: int, width: int, height: int) -> np.ndarray:
-    """ORB descriptors from a diverse synthetic corpus."""
+def build_corpus(frames_per_seq: int, width: int, height: int,
+                 n_sequences: int = 6, n_features: int = 1000) -> np.ndarray:
+    """ORB descriptors from a diverse synthetic corpus.
+
+    `n_sequences` pairs of (sweep, orbit) sequences with distinct world
+    seeds and texture frequencies; a trained 10^6-leaf tree (reference
+    ORBvoc scale, TemplatedVocabulary.h:1338 trained on real imagery)
+    needs several MILLION descriptors — use ~48 sequences x 60 frames x
+    2000 features."""
     base = dict(n_frames=frames_per_seq, width=width, height=height,
                 fx=260.0, fy=260.0, cx=width / 2 - 0.5, cy=height / 2 - 0.5)
     seq_cfgs = []
-    for seed in range(3):
-        seq_cfgs.append(SynthConfig(**base, seed=seed, trajectory="sweep",
-                                    texture_cells=2.2 + 0.5 * seed))
-        seq_cfgs.append(SynthConfig(**base, seed=10 + seed,
-                                    trajectory="orbit",
-                                    texture_cells=2.8 + 0.4 * seed))
-    orb = ORBConfig()
+    for i in range(max(1, n_sequences // 2)):
+        seq_cfgs.append(SynthConfig(
+            **base, seed=i, trajectory="sweep",
+            texture_cells=1.8 + 0.23 * i))
+        seq_cfgs.append(SynthConfig(
+            **base, seed=100 + i, trajectory="orbit",
+            texture_cells=2.2 + 0.31 * i))
+    seq_cfgs = seq_cfgs[:max(1, n_sequences)]
+    orb = ORBConfig(n_features=n_features)
     out = []
     for i, scfg in enumerate(seq_cfgs):
         seq = generate(scfg)
@@ -65,11 +74,15 @@ def main():
     ap.add_argument("--width", type=int, default=424)
     ap.add_argument("--height", type=int, default=320)
     ap.add_argument("--max-train", type=int, default=150_000)
+    ap.add_argument("--sequences", type=int, default=6)
+    ap.add_argument("--n-features", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     t0 = time.time()
-    corpus = build_corpus(args.frames, args.width, args.height)
+    corpus = build_corpus(args.frames, args.width, args.height,
+                          n_sequences=args.sequences,
+                          n_features=args.n_features)
     print(f"[corpus] total {len(corpus)} descriptors "
           f"({time.time() - t0:.1f}s)", file=sys.stderr)
     t0 = time.time()
