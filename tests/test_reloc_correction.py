@@ -77,6 +77,7 @@ def inject_drift(sys_, k_last, dt=np.array([0.04, -0.02, 0.03])):
     return dt
 
 
+@pytest.mark.slow
 def test_on_relocalization_corrects_injected_drift():
     sys_, _ = built_system()
     m = sys_.tracker.map
@@ -109,6 +110,7 @@ def test_on_relocalization_corrects_injected_drift():
     assert resid < 0.35 * drift_mag, (resid, drift_mag)
 
 
+@pytest.mark.slow
 def test_on_relocalization_noop_when_no_drift():
     """A clean map must NOT be churned: the below-noise gate skips the
     pose-graph run when the Sim3 measurement agrees with the estimates."""
@@ -128,6 +130,7 @@ def test_on_relocalization_noop_when_no_drift():
     np.testing.assert_allclose(np.asarray(sys_.tracker.map.kf_t), t0)
 
 
+@pytest.mark.slow
 def test_tracker_invokes_on_reloc_hook():
     """_relocalize_then_track must call on_reloc(k_last, cand) on success
     (and accept legacy 4-tuple relocalizer doubles without one)."""
