@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 from typing import List, Optional
 
 import jax
@@ -23,10 +24,12 @@ from ..ops.horn import ransac_sim3
 from ..optim.sim3_opt import optimize_sim3
 from ..optim.pose_graph import PoseGraphProblem, optimize_pose_graph
 from ..utils import sim3 as s3
-from ..utils.camera import Intrinsics, project
+from ..utils.camera import Intrinsics, backproject, project
 from ..worldmap.state import MapState, add_loop_edge
 from .fusion import fuse_into_keyframe
 from ..worldmap import kfdb as kfdb_mod
+
+log = logging.getLogger(__name__)
 from ..models import vocabulary as voc_mod
 
 
@@ -64,6 +67,39 @@ def _match_kf_pair(desc_a, valid_a, obs_a, desc_b, valid_b, obs_b):
     dist = hm.masked_hamming_matrix(desc_a, has_a, desc_b, has_b)
     idx, d, ok = hm.match_nn(dist, max_dist=50, ratio=0.75, mutual=True)
     return idx, ok
+
+
+@jax.jit
+def _match_kf_pair_any(desc_a, valid_a, desc_b, valid_b):
+    """Mutual-nn descriptor match over ALL valid keypoints (no landmark
+    requirement) — for the depth-based reloc Sim3 (see _depth_pairs)."""
+    dist = hm.masked_hamming_matrix(desc_a, valid_a, desc_b, valid_b)
+    idx, d, ok = hm.match_nn(dist, max_dist=50, ratio=0.75, mutual=True)
+    return idx, ok
+
+
+@jax.jit
+def _depth_pairs(m: MapState, cam: Intrinsics, k, c, idx, ok, scale_factor):
+    """(x1, x2, uv1, uv2, ok, inv1, inv2) for matched keypoints of (k, c)
+    with 3D from EACH KEYFRAME'S OWN MEASURED DEPTH (kf_kp_depth), not
+    from landmarks: both sides are gauge-free local geometry, so the Sim3
+    between them measures the TRUE relative camera pose independent of
+    any map drift — exactly what reloc-drift estimation needs when the
+    post-decay keyframe has few or no surviving landmark observations."""
+    N = m.kf_obs_lm.shape[1]
+    idx_c = jnp.clip(idx, 0, N - 1)
+    z1 = m.kf_kp_depth[k]
+    z2 = m.kf_kp_depth[c][idx_c]
+    ok = ok & (z1 > 0) & (z2 > 0)
+    uv1 = m.kf_kp_xy[k]
+    uv2 = m.kf_kp_xy[c][idx_c]
+    x1 = backproject(cam, uv1, z1)
+    x2 = backproject(cam, uv2, z2)
+    lvl1 = m.kf_kp_level[k].astype(jnp.float32)
+    lvl2 = m.kf_kp_level[c].astype(jnp.float32)[idx_c]
+    inv1 = 1.0 / (scale_factor ** (2 * lvl1))
+    inv2 = 1.0 / (scale_factor ** (2 * lvl2))
+    return x1, x2, uv1, uv2, ok, inv1, inv2
 
 
 @jax.jit
@@ -249,13 +285,29 @@ class LoopCloser:
         when the measured correction is below noise (nothing to fix)."""
         result = LoopResult()
         cfg = self.cfg.loop
+        log.info("reloc-correction: attempt k_last=%d cand=%d", k_last, cand)
         if not (cfg.enabled and cfg.reloc_correction) or k_last < 0 \
                 or cand < 0 or cand == k_last \
                 or not bool(m.kf_valid[k_last]) or not bool(m.kf_valid[cand]):
             return m, result
         ok, s_rel, R_rel, t_rel, n_inl, n_total = self._compute_sim3(
             m, k_last, cand, stereo)
+        if not ok and stereo:
+            # the landmark-based matcher has nothing to work with exactly
+            # when the correction matters most: the post-decay keyframe's
+            # observations were culled with the thinning map (measured:
+            # "bow_matches 0" at the endurance first-loss event). Fall
+            # back to measured-depth 3D on BOTH sides (gauge-free), with
+            # a stricter inlier bar since the landmark-projection
+            # nTotalMatches gate cannot apply.
+            log.info("reloc-correction: landmark sim3 failed (%s), trying "
+                     "depth-based", getattr(self, "_last_sim3_fail", "?"))
+            ok, s_rel, R_rel, t_rel, n_inl, n_total = \
+                self._compute_sim3_depth(m, k_last, cand)
         if not ok:
+            log.info("reloc-correction: sim3 verification failed "
+                     "(k_last=%d cand=%d, gate: %s)", k_last, cand,
+                     getattr(self, "_last_sim3_fail", "?"))
             return m, result
         # skip when the measurement agrees with the current estimates
         # within the Sim3 solver's noise floor — no drift to distribute,
@@ -270,7 +322,11 @@ class LoopCloser:
         if ang < cfg.reloc_correction_min_rad \
                 and dt < cfg.reloc_correction_min_t \
                 and abs(float(s_rel) - 1.0) < cfg.reloc_correction_min_scale:
+            log.info("reloc-correction: below noise gate (ang=%.4f "
+                     "dt=%.4f), skipping", ang, dt)
             return m, result
+        log.info("reloc-correction: correcting k_last=%d against cand=%d "
+                 "(ang=%.4f dt=%.4f n_inl=%d)", k_last, cand, ang, dt, n_inl)
         m = self._correct(m, k_last, cand, s_rel, R_rel, t_rel)
         m = self._search_and_fuse(m, k_last, cand)
         if seq is not None:
@@ -336,6 +392,41 @@ class LoopCloser:
         inv2 = 1.0 / (sf ** (2 * lvl_c))
         return x1, x2, uv1, uv2, ok, inv1, inv2
 
+    def _compute_sim3_depth(self, m: MapState, k: int, cand: int):
+        """Reloc-only Sim3 variant: descriptor matches over ALL valid
+        keypoints, 3D from each keyframe's own measured depth (RGB-D/
+        stereo). Unlike _compute_sim3 (landmark positions on both sides,
+        ref ComputeSim3 :232-402), both point sets here are local
+        measurements, so the solved S_ck compares the TRUE relative pose
+        against the current estimates — the drift signal survives even
+        when every shared landmark was culled. fix_scale is forced (depth
+        is metric). The landmark-projection nTotalMatches gate cannot
+        apply, so the optimize-inlier bar is raised to sim3_total_matches."""
+        idx, ok = _match_kf_pair_any(
+            m.kf_kp_desc[k], m.kf_kp_valid[k],
+            m.kf_kp_desc[cand], m.kf_kp_valid[cand])
+        sf = self.cfg.orb.scale_factor
+        x1, x2, uv1, uv2, okp, inv1, inv2 = _depth_pairs(
+            m, self.cam, jnp.int32(k), jnp.int32(cand), idx, ok,
+            jnp.float32(sf))
+        n = int(okp.sum())
+        if n < self.cfg.loop.sim3_min_inliers:
+            self._last_sim3_fail = f"depth_matches {n}"
+            return False, None, None, None, 0, 0
+        fit = ransac_sim3(self.cam, self.cam, x1, x2, uv1, uv2, okp,
+                          jax.random.PRNGKey(4321 + k), fix_scale=True)
+        if int(fit.n_inliers) < self.cfg.loop.sim3_min_inliers:
+            self._last_sim3_fail = \
+                f"depth_ransac_inliers {int(fit.n_inliers)}"
+            return False, None, None, None, 0, 0
+        res = optimize_sim3(self.cam, self.cam, fit.s, fit.R, fit.t, x1,
+                            x2, uv1, uv2, inv1, inv2, okp, fix_scale=True)
+        n_inl = int(res.n_inliers)
+        if n_inl < self.cfg.loop.sim3_total_matches:
+            self._last_sim3_fail = f"depth_opt_inliers {n_inl}"
+            return False, None, None, None, 0, 0
+        return True, res.s, res.R, res.t, n_inl, n_inl
+
     def _compute_sim3(self, m: MapState, k: int, cand: int, stereo: bool):
         """Match landmarks of (k, cand); solve relative Sim3 cam_cand<-cam_k
         (ref ComputeSim3 :232-402): BoW matches -> Sim3 RANSAC -> guided
@@ -346,6 +437,7 @@ class LoopCloser:
             m.kf_kp_desc[cand], m.kf_kp_valid[cand], m.kf_obs_lm[cand])
         n = int(ok.sum())
         if n < self.cfg.loop.sim3_min_inliers:
+            self._last_sim3_fail = f"bow_matches {n}"
             return False, None, None, None, 0, 0
         x1, x2, uv1, uv2, okp, inv1, inv2 = self._sim3_pairs(m, k, cand,
                                                              idx, ok)
@@ -353,6 +445,7 @@ class LoopCloser:
                           jax.random.PRNGKey(1234 + k),
                           fix_scale=self.cfg.loop.fix_scale)
         if int(fit.n_inliers) < self.cfg.loop.sim3_min_inliers:
+            self._last_sim3_fail = f"ransac_inliers {int(fit.n_inliers)}"
             return False, None, None, None, 0, 0
         # guided widening around the RANSAC estimate (ref SearchBySim3)
         sf = self.cfg.orb.scale_factor
@@ -366,6 +459,7 @@ class LoopCloser:
                             fix_scale=self.cfg.loop.fix_scale)
         n_inl = int(res.n_inliers)
         if n_inl < self.cfg.loop.sim3_min_inliers:
+            self._last_sim3_fail = f"opt_inliers {n_inl}"
             return False, None, None, None, 0, 0
         # nTotalMatches gate: loop-neighborhood landmarks projected into k
         # (ref LoopClosing.cc:354-368, >= 40)
@@ -374,6 +468,7 @@ class LoopCloser:
             m, self.cam, jnp.int32(k), jnp.int32(cand), res.s, res.R, res.t,
             ids, mask, okp & res.inliers, jnp.float32(sf)))
         if total < self.cfg.loop.sim3_total_matches:
+            self._last_sim3_fail = f"total_matches {total}"
             return False, None, None, None, 0, 0
         return True, res.s, res.R, res.t, n_inl, total
 

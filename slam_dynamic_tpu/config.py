@@ -84,6 +84,20 @@ class TrackingConfig:
     pipeline_depth: int = 0                # 1 = overlap the packed readback
     # of frame t with the dispatch of frame t+1 (decisions lag one frame,
     # like the reference's async LocalMapping thread); 0 = synchronous
+    adaptive_pipeline: bool = False        # pipelined mode: when the oldest
+    # in-flight packet is NOT yet ready (non-blocking is_ready poll), run
+    # up to 2 frames deeper instead of stalling — the slack the
+    # reference's async LocalMapping has. OFF by default because the
+    # readiness poll makes TRACKING DECISIONS timing-dependent: compile-
+    # cache warmth / host load shift keyframe decisions by 1-2 landmarks
+    # from the first mapping window and the divergence compounds
+    # chaotically over long runs (measured r5: the endurance prewarm
+    # flipped the 2000-frame loss count 12<->8 through this branch alone),
+    # violating the same-seed -> same-trajectory determinism the framework
+    # otherwise guarantees (SURVEY §5.2 rebuild note). Opt in for
+    # latency-tolerant serving where throughput beats reproducibility.
+    # (Always off through the axon tunnel: >1 unsynced in-flight frame
+    # triggers the tunnel queue pathology — RESULTS.md incident note.)
     chunk_eager_finalize: bool = False     # chunked mode: finalize the
     # previous chunk (readback + keyframe insertion) BEFORE dispatching
     # the next one, so a keyframe triggered inside chunk N reaches the

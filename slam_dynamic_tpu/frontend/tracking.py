@@ -474,7 +474,11 @@ class Tracker:
     def _adaptive_depth(self) -> bool:
         if self._adaptive is None:
             from ..utils.transport import tunneled
-            self._adaptive = not tunneled()
+            # opt-in (cfg.tracking.adaptive_pipeline): the readiness poll
+            # below makes tracking decisions timing-dependent — see the
+            # config comment; never on through the tunnel (queue pathology)
+            self._adaptive = (self.cfg.tracking.adaptive_pipeline
+                              and not tunneled())
         return self._adaptive
 
     @staticmethod

@@ -1,62 +1,50 @@
-"""Same seed -> same trajectory (SURVEY §4's prescribed determinism test).
+"""Same inputs -> same trajectory, regardless of unrelated prior activity.
 
-Everything in the pipeline is seeded (RANSAC keys derive from cfg.seed +
-frame id; the dynamic path's per-frame sampling variation derives from
-the pose on device), so two fresh Systems over the same frames must
-produce BIT-IDENTICAL trajectories on the same backend.
+The reference is nondeterministic (cv::RANSAC, DUtils::Random, thread
+timing); this framework promises same-seed -> same-trajectory (SURVEY §5.2
+rebuild note). Round 5 found a violation: the pipelined tracker's adaptive
+deepening polled packet readiness (wall-clock-dependent), so compile-cache
+warmth — e.g. a prewarm System tracked earlier in the process — shifted
+keyframe decisions (endurance loss count flipped 12<->8 through that branch
+alone). The poll is now opt-in (cfg.tracking.adaptive_pipeline, default
+False); this test pins the guarantee.
 """
+import dataclasses
+
 import numpy as np
-import pytest
 
-from slam_dynamic_tpu.config import (SystemConfig, CameraConfig, ORBConfig,
-                                     DetectorConfig, CapacityConfig)
 from slam_dynamic_tpu.io.synthetic import SynthConfig, generate
-from slam_dynamic_tpu.system import System
-
-BASE = dict(n_frames=14, width=256, height=192, fx=210.0, fy=210.0,
-            cx=127.5, cy=95.5)
+from tests.test_e2e_slam import make_system
 
 
-def _cfg(dynamic=False):
-    return SystemConfig(
-        camera=CameraConfig(fx=210.0, fy=210.0, cx=127.5, cy=95.5,
-                            bf=210.0 * SynthConfig(**BASE).baseline,
-                            width=256, height=192, th_depth=120.0,
-                            fps=30.0),
-        orb=ORBConfig(n_features=500),
-        detector=DetectorConfig(mode="precomputed" if dynamic else "off"),
-        capacity=CapacityConfig(max_keyframes=16, max_landmarks=4096,
-                                max_keypoints=512, local_ba_keyframes=8,
-                                local_ba_landmarks=1024),
-        sensor="rgbd")
-
-
-def _run(seq, dynamic=False):
-    s = System(_cfg(dynamic))
-    n = seq.gray.shape[0]
+def _run(seq, scfg, n):
+    sys_ = make_system(scfg)
+    sys_.cfg = sys_.cfg.replace(tracking=dataclasses.replace(
+        sys_.cfg.tracking, pipeline_depth=1))
+    sys_.tracker.cfg = sys_.cfg
     for i in range(n):
-        det = None
-        if dynamic and seq.box_valid[i, 0]:
-            det = seq.boxes[i][seq.box_valid[i]]
-        s.track_rgbd(seq.gray[i], seq.depth[i], float(seq.timestamps[i]),
-                     detections=det)
-    return np.stack([np.concatenate([R.reshape(-1), t])
-                     for _, R, t in s.trajectory])
+        sys_.track_rgbd(seq.gray[i], seq.depth[i],
+                        float(seq.timestamps[i]))
+    sys_.tracker._finalize_pending()
+    return [(ts, np.asarray(R), np.asarray(t))
+            for ts, R, t in sys_.trajectory]
 
 
-@pytest.mark.slow
-def test_static_trajectory_deterministic():
-    seq = generate(SynthConfig(**BASE))
-    a = _run(seq)
-    b = _run(seq)
-    assert a.shape == b.shape
-    np.testing.assert_array_equal(a, b)
-
-
-@pytest.mark.slow
-def test_dynamic_trajectory_deterministic():
-    seq = generate(SynthConfig(**BASE, dynamic_object=True,
-                               obj_size=1.2, obj_depth=3.0, obj_speed=0.05))
-    a = _run(seq, dynamic=True)
-    b = _run(seq, dynamic=True)
-    np.testing.assert_array_equal(a, b)
+def test_trajectory_invariant_to_prior_activity():
+    scfg = SynthConfig(n_frames=26, width=320, height=240, fx=260.0,
+                       fy=260.0, cx=159.5, cy=119.5)
+    seq = generate(scfg)
+    ref = _run(seq, scfg, 26)
+    # unrelated prior activity: a throwaway system tracks a few frames
+    # (compiles executables, warms caches — the endurance prewarm shape)
+    throwaway = make_system(scfg)
+    for i in range(6):
+        throwaway.track_rgbd(seq.gray[i], seq.depth[i],
+                             float(seq.timestamps[i]))
+    del throwaway
+    again = _run(seq, scfg, 26)
+    assert len(ref) == len(again)
+    for (ts0, R0, t0), (ts1, R1, t1) in zip(ref, again):
+        assert ts0 == ts1
+        np.testing.assert_array_equal(R0, R1)
+        np.testing.assert_array_equal(t0, t1)

@@ -111,6 +111,43 @@ def test_on_relocalization_corrects_injected_drift():
 
 
 @pytest.mark.slow
+def test_on_relocalization_depth_fallback_no_landmarks():
+    """When the drifted keyframe has NO surviving landmark observations
+    (the endurance first-loss shape: 'bow_matches 0' — the thinning map
+    culled them), the depth-based Sim3 fallback must still measure and
+    correct the drift from the keyframes' own measured depth."""
+    sys_, _ = built_system()
+    m = sys_.tracker.map
+    k_last = sys_.tracker.last_kf_id
+    fids = np.asarray(m.kf_frame_id)
+    valid = np.asarray(m.kf_valid)
+    cand = -1
+    for k in np.argsort(fids):
+        if valid[int(k)] and int(k) != k_last:
+            cand = int(k)
+            break
+    assert cand >= 0
+    dt = np.array([0.04, -0.02, 0.03])
+    R_k = np.asarray(m.kf_R[k_last])
+    t_before = np.asarray(m.kf_t[k_last]).copy()
+    t_new = t_before - R_k @ dt
+    # cull every observation of k_last AND shift its pose: the landmark
+    # matcher now has zero pairs, only depth can recover the drift
+    sys_.tracker.map = m._replace(
+        kf_t=m.kf_t.at[k_last].set(jnp.asarray(t_new, jnp.float32)),
+        kf_obs_lm=m.kf_obs_lm.at[k_last].set(-1))
+    sys_.tracker._kf_pose_cache.clear()
+    drift_mag = float(np.linalg.norm(t_new - t_before))
+    sys_.last_loop = None
+    sys_._on_reloc(k_last, cand)
+    assert getattr(sys_, "last_loop", None) is not None \
+        and sys_.last_loop.closed, "depth fallback did not fire"
+    t_after = np.asarray(sys_.tracker.map.kf_t[k_last])
+    resid = float(np.linalg.norm(t_after - t_before))
+    assert resid < 0.35 * drift_mag, (resid, drift_mag)
+
+
+@pytest.mark.slow
 def test_on_relocalization_noop_when_no_drift():
     """A clean map must NOT be churned: the below-noise gate skips the
     pose-graph run when the Sim3 measurement agrees with the estimates."""

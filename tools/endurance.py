@@ -44,9 +44,19 @@ def main():
                     metavar=("FROM", "TO"),
                     help="log per-frame state/inliers for frames in "
                          "[FROM, TO) — failure-window diagnosis")
+    ap.add_argument("--limit", type=int, default=0,
+                    help="process only the first N frames of the generated "
+                         "world (0 = all) — the world SHAPE depends on "
+                         "--frames, so debugging an event at frame ~900 of "
+                         "the 2000-frame world needs --frames 2000 "
+                         "--limit 1000, not --frames 1000")
     ap.add_argument("--pipeline", type=int, default=1,
                     help="pipeline_depth (1 = overlap readback with next "
                          "dispatch, the bench per-frame default; 0 = sync)")
+    ap.add_argument("--reloc-correction",
+                    action=argparse.BooleanOptionalAction, default=True,
+                    help="A/B switch for the reloc-triggered drift "
+                         "correction (loop.reloc_correction)")
     args = ap.parse_args()
 
     import jax
@@ -107,9 +117,12 @@ def main():
                                 local_ba_keyframes=8,
                                 local_ba_landmarks=2048),
         sensor="rgbd")
-    cfg = cfg.replace(tracking=dataclasses.replace(
-        cfg.tracking, max_frames_between_kf=8,
-        pipeline_depth=args.pipeline))
+    cfg = cfg.replace(
+        tracking=dataclasses.replace(
+            cfg.tracking, max_frames_between_kf=8,
+            pipeline_depth=args.pipeline),
+        loop=dataclasses.replace(
+            cfg.loop, reloc_correction=args.reloc_correction))
     sys_ = System(cfg)
 
     gray8 = np.clip(seq.gray, 0, 255).astype(np.uint8)
@@ -124,20 +137,46 @@ def main():
         # reloc attempts, then real frames compile the recovery-success
         # path; shapes match the main run (same config/capacities).
         t0p = time.time()
+        mode = os.environ.get("ENDURANCE_PREWARM_MODE", "full")
         s0 = System(cfg.replace(tracking=dataclasses.replace(
             cfg.tracking, max_frames_between_kf=3)))
         blank_g = np.zeros_like(gray8[0])
         blank_d = np.zeros_like(d16[0])
         k = 0
-        for i in range(10):
-            s0.track_rgbd(gray8[i], d16[i], float(seq.timestamps[i]))
-            k += 1
-        for _ in range(3):
-            s0.track_rgbd(blank_g, blank_d,
-                          float(seq.timestamps[k])); k += 1
-        for i in range(10, 16):
-            s0.track_rgbd(gray8[i], d16[i], float(seq.timestamps[k]))
-            k += 1
+        if mode != "construct":
+            for i in range(10):
+                s0.track_rgbd(gray8[i], d16[i], float(seq.timestamps[i]))
+                k += 1
+        if mode == "full":
+            for _ in range(3):
+                s0.track_rgbd(blank_g, blank_d,
+                              float(seq.timestamps[k])); k += 1
+            for i in range(10, 16):
+                s0.track_rgbd(gray8[i], d16[i], float(seq.timestamps[k]))
+                k += 1
+            # also compile the reloc-CORRECTION executables (Sim3 match/
+            # solve, depth fallback, pose graph, SearchAndFuse): in the
+            # slow-revisit world no detector loop ever closes, so the
+            # first real correction would otherwise first-hit compile
+            # them mid-window (measured: +50 compiles at the loss event)
+            try:
+                m0 = s0.tracker.map
+                kl = s0.tracker.last_kf_id
+                cd = 0 if kl != 0 else 1
+                s0.loop._compute_sim3(m0, kl, cd, True)
+                okw, s_r, R_r, t_r, _, _ = \
+                    s0.loop._compute_sim3_depth(m0, kl, cd)
+                if not okw:
+                    R_r = np.asarray(m0.kf_R[cd]) @ \
+                        np.asarray(m0.kf_R[kl]).T
+                    t_r = np.asarray(m0.kf_t[cd]) - \
+                        R_r @ np.asarray(m0.kf_t[kl])
+                    s_r = 1.0
+                mw = s0.loop._correct(m0, kl, cd, s_r, R_r, t_r)
+                s0.loop._search_and_fuse(mw, kl, cd)
+            except Exception as e:   # prewarm must never kill the run
+                print(f"[endurance] correction prewarm skipped: {e}",
+                      file=sys.stderr)
         del s0
         print(f"[endurance] recovery path prewarmed "
               f"({time.time() - t0p:.0f}s, compiles so far {_cc.count})",
@@ -146,7 +185,8 @@ def main():
     lost = loops = 0
     compiles_at_warmup = None
     tw = time.time()
-    for i in range(args.frames):
+    n_run = min(args.frames, args.limit) if args.limit else args.frames
+    for i in range(n_run):
         st = sys_.track_rgbd(gray8[i], d16[i], float(seq.timestamps[i]))
         lost += st.state == "LOST"
         if args.trace and args.trace[0] <= i < args.trace[1]:
